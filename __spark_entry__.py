@@ -1,38 +1,458 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: build the inverted index over the sf0.001
+``documents`` table with the real engine (statschat_ke_spark.index) and run
+the canonical BM25 top-k query.
+
+``queries()``/``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2, runnable at any sf dir, with DuckDB-equivalent ANSI SQL.
+
+Float policy for hash-identical results across Spark and DuckDB:
+- exact money sums: SUM(CAST(x AS DECIMAL(18,4))) then CAST AS DOUBLE
+  (decimal addition is exact, so both engines produce the identical double)
+- ratios/averages/BM25 scores: ROUND(..., 6) on both sides
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the real inverted index over `documents`."""
+    from statschat_ke_spark.index.build import build_index
+
+    key = os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        idx = os.path.join(
+            tempfile.gettempdir(), "statschat_idx_" + key.strip("/").replace("/", "_")
+        )
+        marker = os.path.join(idx, "_SUCCESS.json")
+        if not os.path.exists(marker):
+            docs = _t(spark, sf_dir, "documents")
+            build_index(spark, docs, idx, lang="en")
+        _INDEX_CACHE[key] = idx
+    return _INDEX_CACHE[key]
+
+
+FLAGSHIP_QUERY = "slow hash join table scan"
+_FLAGSHIP_TERMS = ["slow", "hash", "join", "table", "scan"]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship BM25 top-k over sf0.001 via the distributed index engine."""
+    from statschat_ke_spark.index.query import topk
+
+    idx = _ensure_index(spark, "/root/testdata/sf0.001")
+    return topk(spark, idx, FLAGSHIP_QUERY, k=10, mode="wand")
+
+
+# --------------------------------------------------------------------------
+# queries() — Spark implementations
+# --------------------------------------------------------------------------
+
+
+def _q1_pricing_summary(spark, sf_dir):
+    """SURVEY §2.4 A3/A8-style sort-based aggregation (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q3_shipping_priority(spark, sf_dir):
+    """3-way join + deterministic top-k (TakeOrderedAndProject)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def _broadcast_join_orders_by_nation(spark, sf_dir):
+    """SURVEY §2.3 J1: broadcast hash join through two small dims."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+def _anti_join_customers_without_orders(spark, sf_dir):
+    """SURVEY §2.3 J2: left anti join (new-vs-existing delta semantics)."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-06-01")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def _window_top3_orders_per_customer(spark, sf_dir):
+    """SURVEY §2.5 W1/W3: ranked window top-k per group."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def _dedup_first_event(spark, sf_dir):
+    """SURVEY §2.4 A2: first-wins dedup by composite key (fixed ref bug —
+    generative/utils.py:4-21 never filled `signatures`; intended semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+def _set_except_clickers_non_buyers(spark, sf_dir):
+    """SURVEY §2.6 SO3: set difference."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    big_buyers = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 300.0))
+        .select("user_id")
+        .distinct()
+    )
+    return clicks.exceptAll(big_buyers).distinct()
+
+
+def _events_hourly_agg(spark, sf_dir):
+    """Temporal bucketing (reference date ops F2-F5 analog)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def _ft_term_stats(spark, sf_dir):
+    """SURVEY §2.4 A8: df/cf term statistics over `documents` (top 50)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("cf"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )
+
+
+def _ft_doclen_stats(spark, sf_dir):
+    """SURVEY §2.4 A9: doc-length / avgdl statistics per language."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+            )
+        ).alias("doclen"),
+    )
+    return toks.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doclen").alias("total_tokens"),
+        F.round(F.avg("doclen"), 6).alias("avgdl"),
+    )
+
+
+def _ft_bm25_topk(spark, sf_dir):
+    """Flagship: distributed index build + block-max WAND BM25 top-10,
+    verified against a full BM25 computation in DuckDB SQL."""
+    from statschat_ke_spark.index.query import topk
+
+    idx = _ensure_index(spark, sf_dir)
+    res = topk(spark, idx, FLAGSHIP_QUERY, k=10, mode="wand")
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _dedup_exact_text(spark, sf_dir):
+    """Exact dedup via content hash (training-pipeline op; md5 = same in
+    DuckDB). Keeps the smallest doc_id per distinct text."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _sim_cosine_top10(spark, sf_dir):
+    """Brute-force cosine top-k over embeddings (ANN baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                dot / (norm(F.col("embedding")) * norm(F.col("q_emb"))), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "broadcast_join_orders_by_nation": _broadcast_join_orders_by_nation,
+        "anti_join_customers_without_orders": _anti_join_customers_without_orders,
+        "window_top3_orders_per_customer": _window_top3_orders_per_customer,
+        "dedup_first_event": _dedup_first_event,
+        "set_except_clickers_non_buyers": _set_except_clickers_non_buyers,
+        "events_hourly_agg": _events_hourly_agg,
+        "ft_term_stats": _ft_term_stats,
+        "ft_doclen_stats": _ft_doclen_stats,
+        "ft_bm25_topk": _ft_bm25_topk,
+        "dedup_exact_text": _dedup_exact_text,
+        "sim_cosine_top10": _sim_cosine_top10,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle_sql() — DuckDB equivalents
+# --------------------------------------------------------------------------
+
+_TOKS_CTE = """
+toks AS (
+    SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents WHERE lang = 'en'
+    ) WHERE t <> ''
+)
+"""
+
+_BM25_SQL = f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(t) AS (VALUES ('slow'),('hash'),('join'),('table'),('scan')),
+tf AS (
+    SELECT toks.doc_id, toks.t, count(*)::DOUBLE AS tf
+    FROM toks JOIN q ON toks.t = q.t GROUP BY toks.doc_id, toks.t
+),
+df AS (SELECT t, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY t),
+scored AS (
+    SELECT tf.doc_id,
+           sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0)
+                * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+    FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 6) AS score FROM scored
+ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "broadcast_join_orders_by_nation": """
+            SELECT n_name AS nation, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "anti_join_customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
+            )
+        """,
+        "window_top3_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "dedup_first_event": """
+            SELECT user_id, event_type, event_id, value FROM (
+                SELECT user_id, event_type, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts ASC, event_id ASC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "set_except_clickers_non_buyers": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 300.0
+        """,
+        "events_hourly_agg": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+                   COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "ft_term_stats": f"""
+            WITH {_TOKS_CTE}
+            SELECT t AS term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+            FROM toks GROUP BY t
+            ORDER BY df DESC, term ASC LIMIT 50
+        """,
+        "ft_doclen_stats": """
+            WITH toks AS (
+                SELECT lang, doc_id, t FROM (
+                    SELECT lang, doc_id,
+                           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+                    FROM documents
+                ) WHERE t <> ''
+            ),
+            dl AS (
+                SELECT lang, doc_id, count(*) AS doclen
+                FROM toks GROUP BY lang, doc_id
+            ),
+            all_docs AS (
+                SELECT d.lang, d.doc_id, COALESCE(dl.doclen, 0) AS doclen
+                FROM documents d LEFT JOIN dl
+                  ON d.doc_id = dl.doc_id AND d.lang = dl.lang
+            )
+            SELECT lang, COUNT(*) AS n_docs, SUM(doclen) AS total_tokens,
+                   ROUND(AVG(doclen), 6) AS avgdl
+            FROM all_docs GROUP BY lang
+        """,
+        "ft_bm25_topk": _BM25_SQL,
+        "dedup_exact_text": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "sim_cosine_top10": """
+            WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   ROUND(
+                     list_dot_product(e.embedding::DOUBLE[], q.q_emb::DOUBLE[])
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))),
+                     6) AS cosine
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> 0
+            ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+        """,
+    }

@@ -1,0 +1,102 @@
+"""Benchmark harness (driver contract): headline queries + index build at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "index": {...build stats...}}
+
+Scaling-efficiency evidence (north_rule: N vs 4N executors) is produced by
+scripts/bench_scaling.py and reported in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("statschat_ke_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+    from statschat_ke_spark.index.build import build_index
+    from statschat_ke_spark.index.query import topk
+
+    timings: dict[str, float] = {}
+    extra: dict = {}
+
+    # --- index build over the sf documents table (fresh, uncached) ---
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    idx_dir = os.path.join(tempfile.gettempdir(), "statschat_bench_idx")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    res = build_index(spark, docs, idx_dir, lang="en", num_partitions=cpus)
+    timings["index_build"] = time.time() - t0
+    extra["index"] = {
+        "n_docs": res.n_docs,
+        "n_terms": res.n_terms,
+        "docs_per_sec": res.n_docs / res.wall_s if res.wall_s else 0.0,
+    }
+    # point the shared cache at the index we just built
+    E._INDEX_CACHE[os.path.abspath(sf_dir)] = idx_dir
+
+    # --- BM25 query latency (wand) ---
+    t0 = time.time()
+    topk(spark, idx_dir, E.FLAGSHIP_QUERY, k=10, mode="wand").collect()
+    timings["ft_bm25_topk"] = time.time() - t0
+
+    # --- headline relational/pipeline queries from the driver contract ---
+    qs = E.queries()
+    for name in [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "broadcast_join_orders_by_nation",
+        "window_top3_orders_per_customer",
+        "dedup_first_event",
+        "ft_term_stats",
+        "dedup_exact_text",
+        "sim_cosine_top10",
+    ]:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_plus_index_build",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        **extra,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,17 @@
+"""statschat_ke_spark — a PySpark-native full-text index + BM25 query engine.
+
+From-scratch re-expression of the capabilities of KNBS-StatsChat/statschat-ke
+(reference surveyed in SURVEY.md) as an idiomatic Spark engine:
+
+- ``corpus``            deterministic synthetic Common-Crawl-style corpus
+- ``functions.extract``  HTML→text extraction (vectorized pandas UDF)
+- ``functions.tokenize`` frozen tokenizer spec (rank-identity contract)
+- ``functions.hashing``  pure-Python XXH64 matching Spark's xxhash64
+- ``index.build``        distributed inverted-index build (sort-based agg,
+                         salted term-range merge, delta-gap+vbyte, block-max)
+- ``index.query``        BM25 top-k (exhaustive + block-max WAND)
+- ``index.oracle``       single-node numpy oracle for rank-identity tests
+- ``operators``          dedup / similarity / reference post-processing ops
+"""
+
+__version__ = "0.1.0"

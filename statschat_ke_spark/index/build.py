@@ -1,0 +1,377 @@
+"""Distributed inverted-index build — sort-based, term-range-merged, resumable.
+
+Replaces the reference's vector-store construction
+(/root/reference/statschat/preprocess.py:90-288: json split → load → chunk →
+embed → FAISS.from_documents → merge) with the Spark-first design of
+SURVEY.md §2.9/§7:
+
+Phase A (stage per input chunk, checkpoint-resumable):
+    documents --filter lang--> extract text (pandas UDF, byte-identical
+    contract) --tokenize+tf (single Arrow UDF pass)--> staged docs
+    (doc_id, url, doclen) + staged pairs (doc_id, term, tf, doclen),
+    one parquet subdir per chunk, a lineage row appended after each chunk
+    commits. Resume = anti-join chunks against the lineage table
+    (the Spark analog of the reference's UPDATE anti-joins,
+    pdf_downloader.py:133-152).
+
+Phase B (global merge):
+    pairs --hash agg--> lexicon(term_id, term, df, cf, max_tf_norm)
+    pairs --repartitionByRange(term_id, slice)-->
+          --sortWithinPartitions(term_id, slice, doc_sort_key)-->
+          --mapInPandas pack--> postings blocks (delta-gap + vbyte, ≤128
+            docs, per-block max impact) + per-partition metrics.
+
+Skew handling: every posting row is keyed by (term_id, slice) where
+slice = top SLICE_BITS bits of the unsigned doc_id. A hot term ("the" at web
+scale) therefore fans out over up to 2^SLICE_BITS ranges that the range
+partitioner can place on different reducers — doc-range salting whose
+sub-lists are *disjoint and ordered*, so merged posting lists stay globally
+doc_id-sorted and block-max WAND can operate per slice (every doc's postings
+for all terms share a slice, making per-slice top-k exact).
+
+Impact upper bounds are stored idf-free (max of the tf/doclen factor);
+idf multiplies in at query time, so posting blocks never need rebuilding
+when N/df drift — only the lexicon does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from statschat_ke_spark.functions.extract import extract_text_udf
+from statschat_ke_spark.index.codec import BLOCK, encode_doc_ids, encode_tfs, vbyte_encode
+
+K1 = 1.2
+B = 0.75
+SLICE_BITS = 6  # 64 doc-range slices; raise for real clusters
+LONG_MIN = -(2**63)
+
+TOKENIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doclen", T.IntegerType(), False),
+        T.StructField(
+            "tfs",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("term", T.StringType(), False),
+                        T.StructField("tf", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+@F.pandas_udf(TOKENIZED_SCHEMA)
+def tokenize_doc_udf(text: pd.Series) -> pd.DataFrame:
+    """One Arrow pass producing doclen + per-doc term frequencies.
+
+    Map-side tf aggregation: downstream row count is bounded by Σ df
+    (distinct terms per doc), not token positions — the sort-based analog of
+    a map-side combine.
+    """
+    import re
+    from collections import Counter
+
+    token_re = re.compile(r"[a-z0-9]+")
+    lowered = text.fillna("").str.lower()
+    doclens: list[int] = []
+    tf_lists: list[list[dict]] = []
+    for s in lowered:
+        c = Counter(token_re.findall(s))
+        doclens.append(sum(c.values()))
+        tf_lists.append([{"term": t, "tf": int(n)} for t, n in c.items()])
+    return pd.DataFrame({"doclen": pd.Series(doclens, dtype="int32"), "tfs": tf_lists})
+
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term_id", T.LongType(), False),
+        T.StructField("slice", T.IntegerType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("first_doc", T.LongType(), False),
+        T.StructField("last_doc", T.LongType(), False),
+        T.StructField("doc_ids", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("dls", T.BinaryType(), False),
+        T.StructField("block_max_tfn", T.DoubleType(), False),
+        T.StructField("pid", T.IntegerType(), False),
+    ]
+)
+
+
+def _pack_groups(avgdl: float):
+    """mapInPandas packer: sorted (term_id, slice, doc_sort) rows → blocks.
+
+    Handles Arrow batch boundaries splitting a (term_id, slice) group by
+    carrying the trailing group between batches.
+    """
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        leftover: pd.DataFrame | None = None
+
+        def pack_group(g: pd.DataFrame) -> pd.DataFrame:
+            doc_ids = g["doc_id"].to_numpy(dtype=np.int64)
+            doc_u = doc_ids.view(np.uint64)
+            tfs = g["tf"].to_numpy(dtype=np.int64)
+            dls = g["doclen"].to_numpy(dtype=np.int64)
+            tfn = (
+                tfs * (K1 + 1.0)
+                / (tfs + K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl))
+            )
+            rows = []
+            term_id = int(g["term_id"].iloc[0])
+            slc = int(g["slice"].iloc[0])
+            for b, start in enumerate(range(0, len(g), BLOCK)):
+                sl = slice(start, min(start + BLOCK, len(g)))
+                ids_u = doc_u[sl]
+                rows.append(
+                    {
+                        "term_id": term_id,
+                        "slice": slc,
+                        "block_id": b,
+                        "n": int(ids_u.size),
+                        "first_doc": int(doc_ids[sl.start]),
+                        "last_doc": int(doc_ids[sl.stop - 1]),
+                        "doc_ids": encode_doc_ids(ids_u),
+                        "tfs": encode_tfs(tfs[sl].astype(np.uint64)),
+                        "dls": vbyte_encode(dls[sl].astype(np.uint64)),
+                        "block_max_tfn": float(tfn[sl].max()),
+                        "pid": pid,
+                    }
+                )
+            return pd.DataFrame(rows)
+
+        for batch in batches:
+            if leftover is not None and len(leftover):
+                batch = pd.concat([leftover, batch], ignore_index=True)
+            if not len(batch):
+                continue
+            # split off the trailing (possibly incomplete) group
+            keys = batch["term_id"].to_numpy()
+            slcs = batch["slice"].to_numpy()
+            last_key, last_slc = keys[-1], slcs[-1]
+            # first row of the trailing (possibly incomplete) group — groups
+            # are contiguous because input is sorted by (term_id, slice)
+            mask_tail = (keys == last_key) & (slcs == last_slc)
+            first_tail = int(np.argmax(mask_tail)) if mask_tail.any() else len(batch)
+            body, leftover = batch.iloc[:first_tail], batch.iloc[first_tail:]
+            if len(body):
+                out = [
+                    pack_group(g)
+                    for _, g in body.groupby(["term_id", "slice"], sort=False)
+                ]
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+        if leftover is not None and len(leftover):
+            out = [
+                pack_group(g)
+                for _, g in leftover.groupby(["term_id", "slice"], sort=False)
+            ]
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return pack
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    n_docs: int
+    avgdl: float
+    n_terms: int
+    n_posting_rows: int
+    wall_s: float
+    chunks_processed: int
+    chunks_skipped: int
+
+
+def _prepare_base(docs: DataFrame, lang: str | None) -> DataFrame:
+    """Normalize the input to (doc_id, url, text): language filter, HTML
+    extraction when no text column, deterministic doc ids."""
+    cols = set(docs.columns)
+    out = docs
+    if lang is not None and "lang" in cols:
+        out = out.filter(F.col("lang") == lang)  # SURVEY §2.2 P12
+    if "text" not in cols:
+        out = out.withColumn("text", extract_text_udf(F.col("html")))
+    if "doc_id" not in cols:
+        # deterministic id replacing the reference's random id (F12)
+        out = out.withColumn("doc_id", F.xxhash64(F.col("url")))
+    if "url" not in cols:
+        out = out.withColumn("url", F.col("doc_id").cast("string"))
+    return out.select("doc_id", "url", "text")
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    *,
+    lang: str | None = "en",
+    num_partitions: int | None = None,
+    n_chunks: int = 1,
+    resume: bool = False,
+) -> BuildResult:
+    """Build the full index under ``index_dir``.
+
+    Layout: staged_docs/ staged_pairs/ (phase A, per-chunk), docs/, lexicon/,
+    postings/, _lineage/, _metrics/, stats.json, _SUCCESS.json.
+    """
+    t0 = time.time()
+    sc = spark.sparkContext
+    P = num_partitions or sc.defaultParallelism
+    os.makedirs(index_dir, exist_ok=True)
+    lineage_path = os.path.join(index_dir, "_lineage")
+    base = _prepare_base(docs, lang)
+
+    done_chunks: set[int] = set()
+    if resume and os.path.exists(lineage_path):
+        done = spark.read.parquet(lineage_path).select("chunk").distinct().collect()
+        done_chunks = {r.chunk for r in done}
+
+    processed = 0
+    for chunk in range(n_chunks):
+        if chunk in done_chunks:
+            continue
+        cdf = base if n_chunks == 1 else base.filter(
+            F.pmod(F.xxhash64(F.col("url")), F.lit(n_chunks)) == chunk
+        )
+        tok = cdf.withColumn("tok", tokenize_doc_udf(F.col("text"))).select(
+            "doc_id", "url", F.col("tok.doclen").alias("doclen"), F.col("tok.tfs").alias("tfs")
+        )
+        tok = tok.persist()
+        ts = time.time()
+        staged_docs = tok.select("doc_id", "url", "doclen")
+        staged_docs.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "staged_docs", f"chunk={chunk}")
+        )
+        pairs = tok.select(
+            "doc_id", "doclen", F.explode("tfs").alias("e")
+        ).select(
+            "doc_id",
+            "doclen",
+            F.col("e.term").alias("term"),
+            F.col("e.tf").alias("tf"),
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "staged_pairs", f"chunk={chunk}")
+        )
+        n_rows = tok.count()
+        tok.unpersist()
+        lineage_row = spark.createDataFrame(
+            [(chunk, int(n_rows), float(time.time() - ts), time.time())],
+            "chunk int, rows_in long, wall_s double, committed_at double",
+        )
+        lineage_row.write.mode("append").parquet(lineage_path)
+        processed += 1
+
+    # ---- phase B: global stats, lexicon, postings ----
+    staged_docs = spark.read.parquet(os.path.join(index_dir, "staged_docs"))
+    staged_pairs = spark.read.parquet(os.path.join(index_dir, "staged_pairs"))
+
+    stats_row = staged_docs.agg(
+        F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats_row.n_docs), float(stats_row.avgdl or 0.0)
+
+    staged_docs.repartition(P, "doc_id").write.mode("overwrite").parquet(
+        os.path.join(index_dir, "docs")
+    )
+
+    keyed = staged_pairs.select(
+        F.xxhash64("term").alias("term_id"),
+        "term",
+        "doc_id",
+        "tf",
+        "doclen",
+        F.shiftrightunsigned(F.col("doc_id"), 64 - SLICE_BITS)
+        .cast("int")
+        .alias("slice"),
+        # unsigned doc order == signed order of doc_id XOR LONG_MIN
+        F.col("doc_id").bitwiseXOR(F.lit(LONG_MIN)).alias("doc_sort"),
+        (
+            F.col("tf") * (K1 + 1.0)
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("doclen") / F.lit(avgdl)))
+        ).alias("tfn"),
+    )
+
+    lexicon = keyed.groupBy("term_id").agg(
+        F.first("term").alias("term"),
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+        F.max("tfn").alias("max_tfn"),
+    )
+    lexicon.repartitionByRange(max(4, P // 4), "term_id").sortWithinPartitions(
+        "term_id"
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "lexicon"))
+
+    postings = (
+        keyed.select("term_id", "slice", "doc_id", "tf", "doclen", "doc_sort")
+        .repartitionByRange(P, "term_id", "slice")
+        .sortWithinPartitions("term_id", "slice", "doc_sort")
+        .mapInPandas(_pack_groups(avgdl), schema=POSTINGS_SCHEMA)
+    )
+    postings.write.mode("overwrite").parquet(os.path.join(index_dir, "postings"))
+
+    # ---- metrics: bytes/partition, postings/sec, skew ratio (north_rule) ----
+    pst = spark.read.parquet(os.path.join(index_dir, "postings"))
+    per_pid = pst.groupBy("pid").agg(
+        F.count("*").alias("posting_rows"),
+        F.sum("n").alias("postings"),
+        F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls")).alias("bytes"),
+    )
+    per_pid.write.mode("overwrite").parquet(os.path.join(index_dir, "_metrics"))
+    agg = per_pid.agg(
+        F.sum("posting_rows").alias("rows"),
+        F.sum("postings").alias("postings"),
+        F.max("postings").alias("max_p"),
+        F.avg("postings").alias("avg_p"),
+        F.count("*").alias("parts"),
+    ).collect()[0]
+    n_terms = lexicon.count()
+    wall = time.time() - t0
+
+    stats = {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "k1": K1,
+        "b": B,
+        "slice_bits": SLICE_BITS,
+        "block": BLOCK,
+        "n_terms": int(n_terms),
+        "n_posting_rows": int(agg.rows or 0),
+        "n_postings": int(agg.postings or 0),
+        "postings_per_sec": (int(agg.postings or 0) / wall) if wall > 0 else 0.0,
+        "skew_ratio": float(agg.max_p / agg.avg_p) if agg.avg_p else 1.0,
+        "build_wall_s": wall,
+    }
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    with open(os.path.join(index_dir, "_SUCCESS.json"), "w") as f:
+        json.dump({"complete": True, "chunks": n_chunks}, f)
+
+    return BuildResult(
+        index_dir=index_dir,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        n_terms=int(n_terms),
+        n_posting_rows=int(agg.rows or 0),
+        wall_s=wall,
+        chunks_processed=processed,
+        chunks_skipped=len(done_chunks),
+    )
