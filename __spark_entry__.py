@@ -284,6 +284,89 @@ def _sim_cosine_top10(spark, sf_dir):
     )
 
 
+def _dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index
+    (operators/dedup.py) — finds the near-duplicates planted in `documents`."""
+    from statschat_ke_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, min_jaccard=0.7)
+
+
+def _dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (banded signatures → bucket join → exact
+    verify). No SQL oracle (xxhash64+permutations); verified in pytest
+    against exact n-gram Jaccard."""
+    from statschat_ke_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=64)
+    return minhash_lsh_pairs(sigs, bands=16, min_jaccard=0.7)
+
+
+def _dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (4×16-bit chunk banding). Rows-only check."""
+    from statschat_ke_spark.operators.dedup import simhash, simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash(docs), max_hamming=3)
+
+
+def _ft_quality_profile(spark, sf_dir):
+    """Text-analysis profile: language ID, quality features, token counts
+    (functions/textstats.py) — all JVM-side expressions."""
+    from statschat_ke_spark.functions.textstats import text_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    prof = text_profile(docs)
+    return prof.select(
+        "doc_id",
+        "lang_guess",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_tokens_bpe",
+        F.col("quality.punct_ratio").alias("punct_ratio"),
+        F.col("quality.stopword_ratio").alias("stopword_ratio"),
+        F.col("quality.mean_word_len").alias("mean_word_len"),
+        "quality_score",
+    )
+
+
+_LSH_NBITS = 6
+_LSH_DIM = 64
+_LSH_SEED = 42
+
+
+def _lsh_planes():
+    import numpy as np
+
+    return np.random.default_rng(_LSH_SEED).standard_normal((_LSH_NBITS, _LSH_DIM))
+
+
+def _sim_lsh_topk(spark, sf_dir):
+    """ANN top-k via random-hyperplane LSH buckets + exact re-rank within
+    probed buckets (operators/similarity.py)."""
+    from statschat_ke_spark.operators.similarity import hyperplane_signature, lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = _lsh_planes()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    indexed = emb.filter(F.col("vec_id") != 0).withColumn(
+        "bucket", hyperplane_signature(F.col("embedding"), planes)
+    )
+    return lsh_topk(indexed, planes, qv, k=10)
+
+
+def _fuzzy_supersede_parts(spark, sf_dir):
+    """J3 fuzzy version-matching (prefix-blocked theta join) demoed on part
+    names. Rows-only (LCS-indel ratio has no DuckDB equivalent)."""
+    from statschat_ke_spark.operators.latest import match_superseded
+
+    part = _t(spark, sf_dir, "part")
+    new = part.filter(F.col("p_partkey") % 10 == 0).select(F.col("p_name").alias("title"))
+    old = part.filter(F.col("p_partkey") % 10 != 0).select(F.col("p_name").alias("title"))
+    return match_superseded(new, old)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -299,6 +382,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk": _ft_bm25_topk,
         "dedup_exact_text": _dedup_exact_text,
         "sim_cosine_top10": _sim_cosine_top10,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        "ft_quality_profile": _ft_quality_profile,
+        "sim_lsh_topk": _sim_lsh_topk,
+        "fuzzy_supersede_parts": _fuzzy_supersede_parts,
     }
 
 
@@ -337,8 +426,119 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
 """
 
 
+_NGRAM_JACCARD_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(tk)-3),
+                                                  i -> array_to_string(tk[i:i+4], ' ')))
+           END AS shingles
+    FROM toks
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+co AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS inter
+    FROM ex a JOIN ex b USING (s)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(inter*1.0/(na+nb-inter), 6) AS jaccard
+FROM co WHERE inter*1.0/(na+nb-inter) >= 0.7
+"""
+
+_QUALITY_SQL_STOPWORDS = (
+    "['the','of','and','to','in','is','that','for','it','was','with','be','on',"
+    "'not','he','as','you','at','this','have']"
+)
+
+_QUALITY_SQL = f"""
+WITH base AS (
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+    FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           length(text) AS n_chars,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             + len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) AS n_tokens_bpe,
+           len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+           len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+           len(list_filter(tk, x -> list_contains({_QUALITY_SQL_STOPWORDS}, x))) AS n_stop,
+           list_sum(list_transform(tk, x -> length(x))) AS tok_chars,
+           len(list_intersect(tk, {_QUALITY_SQL_STOPWORDS})) AS c_en,
+           len(list_intersect(tk, ['ya','na','wa','kwa','ni','za','katika','la','kuwa','hii','cha','kama','hiyo','yake','pia','ile','hizo','ndani'])) AS c_sw,
+           len(list_intersect(tk, ['le','la','de','et','les','des','en','un','une','du','est','que','pour','dans','qui','sur','pas','au','ce','il'])) AS c_fr,
+           len(list_intersect(tk, ['der','die','und','das','in','den','von','mit','ist','des','nicht','ein','eine','auf','für','sie','im','dem'])) AS c_de,
+           len(list_intersect(tk, ['el','la','de','que','en','los','del','las','un','por','con','una','es','para','su','al','lo','como','mas'])) AS c_es
+    FROM base
+),
+ratios AS (
+    SELECT doc_id, n_tokens, n_tokens_bpe,
+           round(CASE WHEN n_chars > 0 THEN n_punct*1.0/n_chars ELSE 0 END, 6) AS punct_ratio,
+           round(CASE WHEN n_tokens > 0 THEN n_stop*1.0/n_tokens ELSE 0 END, 6) AS stopword_ratio,
+           round(CASE WHEN n_tokens > 0 THEN tok_chars*1.0/n_tokens ELSE 0 END, 6) AS mean_word_len,
+           round(CASE WHEN n_chars > 0 THEN n_digit*1.0/n_chars ELSE 0 END, 6) AS digit_ratio,
+           greatest(c_en, c_sw, c_fr, c_de, c_es) AS best,
+           c_en, c_sw, c_fr, c_de, c_es
+    FROM feat
+)
+SELECT doc_id,
+       CASE WHEN best <= 0 THEN 'und'
+            WHEN c_en = best THEN 'en'
+            WHEN c_sw = best THEN 'sw'
+            WHEN c_fr = best THEN 'fr'
+            WHEN c_de = best THEN 'de'
+            ELSE 'es' END AS lang_guess,
+       n_tokens, n_tokens_bpe, punct_ratio, stopword_ratio, mean_word_len,
+       round(greatest(0.0, least(1.0,
+             0.5 + least(stopword_ratio*2.0, 0.3) - least(punct_ratio*2.0, 0.3)
+                 - least(digit_ratio, 0.2)
+                 + CASE WHEN n_tokens BETWEEN 20 AND 5000 THEN 0.2 ELSE -0.2 END)), 6)
+         AS quality_score
+FROM ratios
+"""
+
+
+def _sim_lsh_sql() -> str:
+    planes = _lsh_planes()
+    plane_lits = [
+        "[" + ",".join(repr(float(x)) for x in row) + "]" for row in planes
+    ]
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(ve, {plane_lits[i]}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(len(plane_lits))
+    )
+    q_bucket_terms = bucket_terms.replace("(ve,", "(qe,")
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+qsig AS (SELECT {q_bucket_terms} AS qbucket FROM q),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings WHERE vec_id <> 0),
+sig AS (SELECT vec_id, ve, {bucket_terms} AS bucket FROM e),
+cand AS (
+    SELECT s.vec_id, s.ve FROM sig s CROSS JOIN qsig
+    WHERE s.bucket = qsig.qbucket OR bit_count(xor(s.bucket::BIGINT, qsig.qbucket::BIGINT)) = 1
+)
+SELECT c.vec_id,
+       ROUND(list_dot_product(c.ve, q.qe)
+             / (sqrt(list_dot_product(c.ve, c.ve)) * sqrt(list_dot_product(q.qe, q.qe))),
+             6) AS cosine
+FROM cand c CROSS JOIN q
+ORDER BY cosine DESC, c.vec_id ASC LIMIT 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "ft_quality_profile": _QUALITY_SQL,
+        "sim_lsh_topk": _sim_lsh_sql(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

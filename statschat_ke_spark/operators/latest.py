@@ -1,0 +1,72 @@
+"""Latest-version maintenance — the reference's two-store "latest" model
+re-expressed as a flag column + joins (SURVEY.md §2.3 J2-J4, §2.6 SO4).
+
+Reference mechanics being replaced:
+- two FAISS stores (all vs latest) selected per query (cloud_llm.py:110-149)
+  → one table with a ``latest`` boolean; queries filter/partition-prune
+- fuzzy new-supersedes-old matching (latest_updates.py:24-52: fuzz.ratio>75)
+  → prefix-blocked theta join (the reference itself blocks on a 60-char
+  prefix at latest_updates.py:85), fuzzy only within block
+- substring containment join chunk↔doc (latest_updates.py:97-111)
+  → normalized 60-char-prefix equi join
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from statschat_ke_spark.functions.refops import fuzz_ratio_udf
+
+PREFIX = 60
+FUZZ_THRESHOLD = 75.0
+
+
+def flag_latest(docs: DataFrame, series_col: str = "title", date_col: str = "release_date") -> DataFrame:
+    """latest = max(date) within a title-series (window, no self-join)."""
+    w = W.partitionBy(series_col)
+    return docs.withColumn("latest", F.col(date_col) == F.max(date_col).over(w))
+
+
+def match_superseded(new_docs: DataFrame, old_docs: DataFrame,
+                     name_col: str = "title") -> DataFrame:
+    """J3 — which old docs does each new doc supersede?
+
+    Equi-block on the series stem — the first 3 title tokens (versions of a
+    series share the stem and differ in trailing month/quarter/year) — then
+    the fuzzy indel-ratio theta predicate within the block: the scale-safe
+    version of the reference's full cross product (latest_updates.py:24-52;
+    the reference's own blocking idea is the 60-char prefix at :85, which
+    fails on titles shorter than 60 chars). Returns
+    (new_name, old_name, similarity).
+    """
+
+    def key(c: str) -> F.Column:
+        toks = F.filter(F.split(F.lower(F.col(c)), "[^a-z0-9]+"), lambda x: x != "")
+        return F.array_join(F.slice(toks, 1, 3), " ")
+    n = new_docs.select(F.col(name_col).alias("new_name")).distinct().withColumn(
+        "_blk", key("new_name")
+    )
+    o = old_docs.select(F.col(name_col).alias("old_name")).distinct().withColumn(
+        "_blk", key("old_name")
+    )
+    return (
+        o.join(F.broadcast(n), "_blk")
+        .withColumn("similarity", fuzz_ratio_udf(F.col("new_name"), F.col("old_name")))
+        .filter(F.col("similarity") > FUZZ_THRESHOLD)
+        .drop("_blk")
+    )
+
+
+def apply_update(base: DataFrame, delta: DataFrame,
+                 key_col: str = "url",
+                 series_col: str = "title",
+                 date_col: str = "release_date") -> DataFrame:
+    """SO4/J2 — merge a delta batch into the base corpus and re-flag latest.
+
+    anti-join (keep base rows not replaced by the delta, J2 semantics of
+    pdf_downloader.py:133-152) → unionByName → window re-flag. With Iceberg
+    this is MERGE INTO + snapshot commit; on plain parquet it is a rewrite.
+    """
+    kept = base.join(delta.select(key_col), key_col, "left_anti")
+    merged = kept.unionByName(delta.select(*kept.columns))
+    return flag_latest(merged, series_col, date_col)

@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and a random-hyperplane LSH
+bucketed variant as the scale path: signatures bucket the corpus so the exact
+re-rank only touches candidate buckets (multi-probe over all hyperplane-bit
+flips at distance ≤1 keeps recall high while scanning ~(nbits+1)/2^nbits of
+the corpus). Deterministic hyperplanes (seed-fixed), dot products via
+JVM-side higher-order functions — no Python in the scan path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector.
+    One pass, no shuffle except the final TakeOrderedAndProject."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        emb.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_signature(vec_col: F.Column, planes: np.ndarray) -> F.Column:
+    """LSH signature: sign bits of <v, h_i> packed into a long (JVM-side)."""
+    bits = [
+        F.when(_dot(vec_col, F.array(*[F.lit(float(x)) for x in h])) > 0, 1 << i).otherwise(0)
+        for i, h in enumerate(planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out.cast("long")
+
+
+def lsh_index(
+    emb: DataFrame,
+    *,
+    nbits: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """Attach an LSH bucket id to every vector. At scale, write this out
+    partitioned by ``bucket`` so probes prune partitions."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((nbits, dim))
+    with_sig = emb.withColumn("bucket", hyperplane_signature(F.col(vec_col), planes))
+    return with_sig, planes
+
+
+def lsh_topk(
+    indexed: DataFrame,
+    planes: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe the query's bucket plus all buckets within
+    ``probe_hamming`` bit flips, exact cosine re-rank inside."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsig = 0
+    for i, h in enumerate(planes):
+        if float(qv @ h) > 0:
+            qsig |= 1 << i
+    buckets = {qsig}
+    if probe_hamming >= 1:
+        for i in range(len(planes)):
+            buckets.add(qsig ^ (1 << i))
+    cand = indexed.filter(F.col("bucket").isin([int(b) for b in buckets]))
+    return cosine_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,140 @@
+"""Training-pipeline operators: dedup family, ANN similarity, text stats."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from statschat_ke_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from statschat_ke_spark.operators.similarity import cosine_topk, lsh_index, lsh_topk
+from statschat_ke_spark.functions.textstats import text_profile
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside "
+    "as morning light spreads across the quiet village square slowly"
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text=BASE),  # exact dup of 1
+        Row(doc_id=3, text=BASE.replace("lazy", "sleepy")),  # near dup of 1
+        Row(doc_id=4, text="completely different content about spark query engines "
+                           "and distributed inverted index construction at scale "
+                           "with posting lists compression and block max wand"),
+        Row(doc_id=5, text=BASE.replace("morning", "evening").replace("quiet", "busy")),
+        Row(doc_id=6, text="short text"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(dup_docs):
+    out = exact_dedup(dup_docs).collect()
+    groups = {r.keep_id: r.n_copies for r in out}
+    assert groups[1] == 2  # docs 1+2 identical
+    assert len(out) == 5
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    sigs = minhash_signatures(dup_docs, num_hashes=64)
+    pairs = minhash_lsh_pairs(sigs, bands=16, min_jaccard=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found  # exact dup certain
+    assert (1, 3) in found or (2, 3) in found  # near dup
+    # unrelated docs never pair
+    assert not any(4 in p for p in found)
+
+
+def test_minhash_jaccard_close_to_exact(dup_docs):
+    sigs = minhash_signatures(dup_docs, num_hashes=64)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in minhash_lsh_pairs(sigs, bands=16, min_jaccard=0.0).collect()}
+    exact = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(dup_docs, min_jaccard=0.0).collect()}
+    assert pairs[(1, 2)] == 1.0
+    # LSH-verified jaccard is the exact shingle jaccard (we verify exactly)
+    for k, v in pairs.items():
+        assert abs(v - exact[k]) < 1e-9
+
+
+def test_ngram_jaccard_pairs(dup_docs):
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(dup_docs, min_jaccard=0.3).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) in out and 0.3 < out[(1, 3)] < 1.0
+
+
+def test_simhash_near_pairs(dup_docs):
+    sh = simhash(dup_docs)
+    vals = {r.id: r.simhash for r in sh.collect()}
+    assert vals[1] == vals[2]
+    pairs = simhash_near_pairs(sh, max_hamming=8).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert found[(1, 2)] == 0
+    # every reported pair's hamming is correct vs direct computation
+    for (a, b), h in found.items():
+        assert bin((vals[a] ^ vals[b]) & ((1 << 64) - 1)).count("1") == h
+    # pigeonhole guarantee: any pair with hamming ≤ 3 MUST be found
+    ids = sorted(vals)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                h = bin((vals[i] ^ vals[j]) & ((1 << 64) - 1)).count("1")
+                if h <= 3:
+                    assert (i, j) in found
+    assert (1, 4) not in found
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    vecs[7] = vecs[0] * 0.9 + 0.01  # near neighbor of 0
+    rows = [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(50)]
+    return spark.createDataFrame(rows), vecs
+
+
+def test_cosine_topk_exact(emb_df):
+    df, vecs = emb_df
+    q = vecs[0].astype(np.float64)
+    got = cosine_topk(df, list(q), k=5).collect()
+    sims = (vecs.astype(np.float64) @ q) / (
+        np.linalg.norm(vecs.astype(np.float64), axis=1) * np.linalg.norm(q)
+    )
+    want = np.lexsort((np.arange(50), -np.round(sims, 6)))[:5]
+    assert [r.vec_id for r in got] == want.tolist()
+    assert got[0].vec_id == 0 and got[1].vec_id == 7
+
+
+def test_lsh_topk_recall(emb_df):
+    df, vecs = emb_df
+    indexed, planes = lsh_index(df, nbits=6, dim=16)
+    got = lsh_topk(indexed, planes, list(vecs[0].astype(np.float64)), k=3)
+    ids = [r.vec_id for r in got.collect()]
+    assert 0 in ids and 7 in ids  # self + its near neighbor survive probing
+
+
+def test_text_profile(spark):
+    rows = [
+        Row(doc_id=1, text="The cat sat on the mat and it was not a hat for example"),
+        Row(doc_id=2, text="ya na wa kwa ni za katika la kuwa hii kitabu chake"),
+        Row(doc_id=3, text="le chat est sur le tapis et il ne va pas au marche"),
+        Row(doc_id=4, text="12345 67890 !!!"),
+    ]
+    out = {r.doc_id: r for r in text_profile(spark.createDataFrame(rows)).collect()}
+    assert out[1].lang_guess == "en"
+    assert out[2].lang_guess == "sw"
+    assert out[3].lang_guess == "fr"
+    assert out[4].lang_guess == "und"
+    assert out[1].quality_score > out[4].quality_score
+    assert out[1].n_tokens == 14
+    assert out[1].quality["stopword_ratio"] > 0.2
