@@ -226,3 +226,60 @@ def spark_documents(spark, n: int, seed: int = SEED):
     return spark.createDataFrame(pdf, schema=DOCUMENTS_SPARK_SCHEMA).select(
         "url", "warc_ts", "html", "text", "lang"
     )
+
+
+CONTRACT_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def spark_documents_distributed(spark, n: int, seed: int = SEED,
+                                num_partitions: int | None = None,
+                                vocab_size: int = 30_000):
+    """Contract-shaped corpus generated ON THE EXECUTORS (mapInPandas over
+    spark.range) — deterministic per doc index independent of partitioning,
+    so the same (n, seed) always yields the identical table at any
+    parallelism. Used for the scaling bench, where the input must be big
+    enough that the build is compute-bound rather than overhead-bound.
+
+    Zipf-distributed vocabulary keeps realistic hot-term skew (the property
+    the salted term-range merge exists for)."""
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    P = num_partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        vocab = np.array(vocabulary(vocab_size))
+        V = len(vocab)
+        ranks = np.arange(1, V + 1, dtype=np.float64)
+        probs = 1.0 / ranks
+        cum = np.cumsum(probs / probs.sum())
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            urls, ts, htmls, texts, langs = [], [], [], [], []
+            for i in ids:
+                rng = np.random.default_rng([seed, int(i)])
+                L = int(60 + rng.integers(0, 200))
+                toks = vocab[np.searchsorted(cum, rng.random(L))]
+                theme = THEMES[int(i) % len(THEMES)]
+                title = f"{theme} bulletin series{int(i) % 997:04d}"
+                nav = f"home {theme} reports archive"
+                paras = [" ".join(toks[j : j + 40]) for j in range(0, L, 40)]
+                r = rng.random()
+                langs.append("en" if r < 0.90 else ("sw" if r < 0.95 else "fr"))
+                urls.append(
+                    f"https://synth.example/{theme}/{2019 + int(i) % 5}/doc-{int(i):09d}.html"
+                )
+                ts.append(EPOCH + dt.timedelta(seconds=int(i) * 7))
+                texts.append(_compose_text(title, nav, paras))
+                htmls.append(_compose_html(title, nav, paras, int(i)))
+            yield pd.DataFrame(
+                {"url": urls, "warc_ts": ts, "html": htmls, "text": texts, "lang": langs}
+            )
+
+    return (
+        spark.range(0, n, 1, P)
+        .mapInPandas(gen, schema=CONTRACT_SCHEMA)
+    )

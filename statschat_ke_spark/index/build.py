@@ -198,6 +198,7 @@ class BuildResult:
     wall_s: float
     chunks_processed: int
     chunks_skipped: int
+    complete: bool = True
 
 
 def _prepare_base(docs: DataFrame, lang: str | None) -> DataFrame:
@@ -217,6 +218,50 @@ def _prepare_base(docs: DataFrame, lang: str | None) -> DataFrame:
     return out.select("doc_id", "url", "text")
 
 
+def _stage_chunk(spark: SparkSession, cdf: DataFrame, index_dir: str, chunk: int) -> int:
+    """Phase-A unit of work: tokenize one chunk, write staged docs+pairs, and
+    append the lineage row only after both writes commit (crash before the
+    lineage append ⇒ the chunk is simply redone on resume; writes are
+    per-chunk subdirs so a partial rewrite is idempotent)."""
+    tok = cdf.withColumn("tok", tokenize_doc_udf(F.col("text"))).select(
+        "doc_id", "url", F.col("tok.doclen").alias("doclen"), F.col("tok.tfs").alias("tfs")
+    )
+    tok = tok.persist()
+    ts = time.time()
+    staged_docs = tok.select("doc_id", "url", "doclen")
+    staged_docs.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "staged_docs", f"chunk={chunk}")
+    )
+    pairs = tok.select(
+        "doc_id", "doclen", F.explode("tfs").alias("e")
+    ).select(
+        "doc_id",
+        "doclen",
+        F.col("e.term").alias("term"),
+        F.col("e.tf").alias("tf"),
+    )
+    pairs.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "staged_pairs", f"chunk={chunk}")
+    )
+    n_rows = tok.count()
+    tok.unpersist()
+    lineage_row = spark.createDataFrame(
+        [(chunk, int(n_rows), float(time.time() - ts), time.time())],
+        "chunk int, rows_in long, wall_s double, committed_at double",
+    )
+    lineage_row.write.mode("append").parquet(os.path.join(index_dir, "_lineage"))
+    return int(n_rows)
+
+
+def staged_chunks(spark: SparkSession, index_dir: str) -> set[int]:
+    """Chunks whose lineage row committed (completed phase-A units)."""
+    lineage_path = os.path.join(index_dir, "_lineage")
+    if not os.path.exists(lineage_path):
+        return set()
+    done = spark.read.parquet(lineage_path).select("chunk").distinct().collect()
+    return {r.chunk for r in done}
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -226,61 +271,119 @@ def build_index(
     num_partitions: int | None = None,
     n_chunks: int = 1,
     resume: bool = False,
+    stop_after_chunks: int | None = None,
 ) -> BuildResult:
     """Build the full index under ``index_dir``.
 
     Layout: staged_docs/ staged_pairs/ (phase A, per-chunk), docs/, lexicon/,
     postings/, _lineage/, _metrics/, stats.json, _SUCCESS.json.
+
+    ``stop_after_chunks`` caps phase-A work done in this invocation (an
+    operational budget knob); when the cap fires before all chunks are staged
+    the merge is skipped and the result has ``complete=False`` — rerun with
+    ``resume=True`` to finish. Combined with lineage this is the north-rule
+    checkpoint-resume path.
     """
     t0 = time.time()
     sc = spark.sparkContext
     P = num_partitions or sc.defaultParallelism
     os.makedirs(index_dir, exist_ok=True)
-    lineage_path = os.path.join(index_dir, "_lineage")
     base = _prepare_base(docs, lang)
 
     done_chunks: set[int] = set()
-    if resume and os.path.exists(lineage_path):
-        done = spark.read.parquet(lineage_path).select("chunk").distinct().collect()
-        done_chunks = {r.chunk for r in done}
+    if resume:
+        done_chunks = staged_chunks(spark, index_dir)
 
     processed = 0
     for chunk in range(n_chunks):
         if chunk in done_chunks:
             continue
+        if stop_after_chunks is not None and processed >= stop_after_chunks:
+            return BuildResult(
+                index_dir=index_dir,
+                n_docs=0,
+                avgdl=0.0,
+                n_terms=0,
+                n_posting_rows=0,
+                wall_s=time.time() - t0,
+                chunks_processed=processed,
+                chunks_skipped=len(done_chunks),
+                complete=False,
+            )
         cdf = base if n_chunks == 1 else base.filter(
             F.pmod(F.xxhash64(F.col("url")), F.lit(n_chunks)) == chunk
         )
-        tok = cdf.withColumn("tok", tokenize_doc_udf(F.col("text"))).select(
-            "doc_id", "url", F.col("tok.doclen").alias("doclen"), F.col("tok.tfs").alias("tfs")
-        )
-        tok = tok.persist()
-        ts = time.time()
-        staged_docs = tok.select("doc_id", "url", "doclen")
-        staged_docs.write.mode("overwrite").parquet(
-            os.path.join(index_dir, "staged_docs", f"chunk={chunk}")
-        )
-        pairs = tok.select(
-            "doc_id", "doclen", F.explode("tfs").alias("e")
-        ).select(
-            "doc_id",
-            "doclen",
-            F.col("e.term").alias("term"),
-            F.col("e.tf").alias("tf"),
-        )
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(index_dir, "staged_pairs", f"chunk={chunk}")
-        )
-        n_rows = tok.count()
-        tok.unpersist()
-        lineage_row = spark.createDataFrame(
-            [(chunk, int(n_rows), float(time.time() - ts), time.time())],
-            "chunk int, rows_in long, wall_s double, committed_at double",
-        )
-        lineage_row.write.mode("append").parquet(lineage_path)
+        _stage_chunk(spark, cdf, index_dir, chunk)
         processed += 1
 
-    # ---- phase B: global stats, lexicon, postings ----
+    result = merge_index(spark, index_dir, num_partitions=P, n_chunks=n_chunks)
+    result.chunks_processed = processed
+    result.chunks_skipped = len(done_chunks)
+    result.wall_s = time.time() - t0
+    _finalize_stats(index_dir, result.wall_s)
+    return result
+
+
+def update_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    *,
+    lang: str | None = "en",
+    num_partitions: int | None = None,
+) -> BuildResult:
+    """Incremental UPDATE: stage only genuinely-new documents as a fresh
+    chunk, then re-merge. The Spark analog of the reference's UPDATE mode
+    (pdf_downloader.py:133-152 anti-join + preprocess.py:250-288 FAISS
+    merge_from): new-vs-existing is a left anti join on url against the
+    already-staged doc table, so re-sending the same batch is a no-op.
+
+    Phase B recomputes lexicon/postings from all staged chunks — the plain-
+    parquet stand-in for an Iceberg ``MERGE INTO`` over term-keyed posting
+    partitions; the phase-A work (extract+tokenize, the dominant cost at
+    100 TB) is never redone.
+    """
+    t0 = time.time()
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    base = _prepare_base(new_docs, lang)
+    existing_path = os.path.join(index_dir, "staged_docs")
+    if os.path.exists(existing_path):
+        existing = spark.read.parquet(existing_path).select("url")
+        base = base.join(existing, "url", "left_anti")
+    done = staged_chunks(spark, index_dir)
+    next_chunk = (max(done) + 1) if done else 0
+    n_new = _stage_chunk(spark, base, index_dir, next_chunk)
+    result = merge_index(spark, index_dir, num_partitions=P, n_chunks=next_chunk + 1)
+    result.chunks_processed = 1
+    result.chunks_skipped = len(done)
+    result.wall_s = time.time() - t0
+    _finalize_stats(index_dir, result.wall_s)
+    return result
+
+
+def _finalize_stats(index_dir: str, wall_s: float) -> None:
+    """Rewrite wall-clock-derived metrics to cover phase A + phase B."""
+    p = os.path.join(index_dir, "stats.json")
+    with open(p) as f:
+        stats = json.load(f)
+    stats["build_wall_s"] = wall_s
+    stats["postings_per_sec"] = (
+        stats["n_postings"] / wall_s if wall_s > 0 else 0.0
+    )
+    with open(p, "w") as f:
+        json.dump(stats, f, indent=2)
+
+
+def merge_index(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    num_partitions: int | None = None,
+    n_chunks: int | None = None,
+) -> BuildResult:
+    """Phase B: global stats, lexicon, postings from all staged chunks."""
+    t0 = time.time()
+    P = num_partitions or spark.sparkContext.defaultParallelism
     staged_docs = spark.read.parquet(os.path.join(index_dir, "staged_docs"))
     staged_pairs = spark.read.parquet(os.path.join(index_dir, "staged_pairs"))
 
@@ -372,6 +475,6 @@ def build_index(
         n_terms=int(n_terms),
         n_posting_rows=int(agg.rows or 0),
         wall_s=wall,
-        chunks_processed=processed,
-        chunks_skipped=len(done_chunks),
+        chunks_processed=0,
+        chunks_skipped=0,
     )

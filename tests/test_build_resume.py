@@ -1,0 +1,119 @@
+"""Checkpoint-resume + incremental UPDATE tests (north_rule; SURVEY §5.2-4/5).
+
+- chunked build == single-shot build (identical lexicon + postings bytes)
+- interrupted build (stop_after_chunks) resumes from lineage without
+  recomputing completed chunks, final index identical
+- update_index(A, then B) == build_index(A ∪ B); re-sending a delta is a
+  no-op (J2 anti-join semantics of pdf_downloader.py:133-152)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from statschat_ke_spark.corpus import DOCUMENTS_SPARK_SCHEMA, generate_documents
+from statschat_ke_spark.index.build import build_index, staged_chunks, update_index
+from statschat_ke_spark.index.query import topk
+
+P = 4  # fixed partitioning so posting bytes are comparable across builds
+
+
+@pytest.fixture(scope="module")
+def docs500(spark):
+    pdf = generate_documents(500)
+    return spark.createDataFrame(pdf, schema=DOCUMENTS_SPARK_SCHEMA).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+
+
+def _lexicon(spark, d):
+    rows = (
+        spark.read.parquet(os.path.join(d, "lexicon"))
+        .select("term_id", "term", "df", "cf")
+        .collect()
+    )
+    return sorted((r.term_id, r.term, r.df, r.cf) for r in rows)
+
+
+def _postings(spark, d):
+    rows = (
+        spark.read.parquet(os.path.join(d, "postings"))
+        .select("term_id", "slice", "block_id", "n", "first_doc", "last_doc",
+                "doc_ids", "tfs", "dls")
+        .collect()
+    )
+    return sorted(
+        (r.term_id, r.slice, r.block_id, r.n, r.first_doc, r.last_doc,
+         bytes(r.doc_ids), bytes(r.tfs), bytes(r.dls))
+        for r in rows
+    )
+
+
+@pytest.fixture(scope="module")
+def single_shot(spark, docs500, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ss") / "idx")
+    res = build_index(spark, docs500, d, num_partitions=P)
+    return d, res
+
+
+def test_chunked_equals_single_shot(spark, docs500, single_shot, tmp_path_factory):
+    d_ss, res_ss = single_shot
+    d = str(tmp_path_factory.mktemp("ch") / "idx")
+    res = build_index(spark, docs500, d, num_partitions=P, n_chunks=4)
+    assert res.complete and res.chunks_processed == 4
+    assert res.n_docs == res_ss.n_docs
+    assert _lexicon(spark, d) == _lexicon(spark, d_ss)
+    assert _postings(spark, d) == _postings(spark, d_ss)
+
+
+def test_stop_and_resume(spark, docs500, single_shot, tmp_path_factory):
+    d_ss, _ = single_shot
+    d = str(tmp_path_factory.mktemp("rs") / "idx")
+    partial = build_index(
+        spark, docs500, d, num_partitions=P, n_chunks=4, stop_after_chunks=2
+    )
+    assert not partial.complete
+    assert partial.chunks_processed == 2
+    assert staged_chunks(spark, d) == {0, 1}
+    assert not os.path.exists(os.path.join(d, "_SUCCESS.json"))
+
+    resumed = build_index(
+        spark, docs500, d, num_partitions=P, n_chunks=4, resume=True
+    )
+    assert resumed.complete
+    assert resumed.chunks_skipped == 2  # lineage prevented recomputation
+    assert resumed.chunks_processed == 2
+    assert _lexicon(spark, d) == _lexicon(spark, d_ss)
+    assert _postings(spark, d) == _postings(spark, d_ss)
+
+
+def test_update_equals_full_rebuild(spark, docs500, single_shot, tmp_path_factory):
+    d_ss, _ = single_shot
+    pdf = generate_documents(500)
+    base = spark.createDataFrame(pdf.iloc[:300], schema=DOCUMENTS_SPARK_SCHEMA).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    # overlapping delta: rows 200..500 (100 already indexed)
+    delta = spark.createDataFrame(pdf.iloc[200:], schema=DOCUMENTS_SPARK_SCHEMA).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    d = str(tmp_path_factory.mktemp("up") / "idx")
+    build_index(spark, base, d, num_partitions=P)
+    res = update_index(spark, delta, d, num_partitions=P)
+    assert res.complete
+    assert res.n_docs == spark.read.parquet(os.path.join(d_ss, "docs")).count()
+    assert _lexicon(spark, d) == _lexicon(spark, d_ss)
+    assert _postings(spark, d) == _postings(spark, d_ss)
+
+    # queries over the updated index match the single-shot index exactly
+    for q in ["what was inflation in december 2023", "maize production county report"]:
+        a = topk(spark, d, q, 10).toPandas()
+        b = topk(spark, d_ss, q, 10).toPandas()
+        assert (a.doc_id.to_numpy() == b.doc_id.to_numpy()).all()
+
+    # idempotency: re-sending the same delta stages 0 new docs
+    res2 = update_index(spark, delta, d, num_partitions=P)
+    assert res2.n_docs == res.n_docs
+    assert _lexicon(spark, d) == _lexicon(spark, d_ss)
