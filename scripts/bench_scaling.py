@@ -1,0 +1,177 @@
+"""Scaling-efficiency evidence for the north_rule (N vs 4N executors).
+
+No real cluster exists in this sandbox, so the same index-build job runs at
+two parallelism levels (local[N] and local[4N]) over the IDENTICAL
+pre-materialized parquet input; we report docs/sec + postings/sec at both and
+the scaling efficiency
+
+    eff = throughput(4N) / (4 * throughput(N))
+
+Each measurement runs in its own subprocess (fresh JVM) so the two levels
+can't share executor state. The corpus is generated once, deterministically,
+on the executors (corpus.spark_documents_distributed) and reused by both
+levels — see BASELINE.md "BENCH" for recorded results.
+
+Usage:
+    python scripts/bench_scaling.py                # full parent run
+    python scripts/bench_scaling.py --pairs 2:8    # custom N:4N pairs
+    python scripts/bench_scaling.py --child --cpus 8 --input DIR   # internal
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _session(cpus: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"statschat_scaling_{cpus}")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def child(cpus: int, input_dir: str) -> None:
+    import shutil
+
+    from statschat_ke_spark.index.build import build_index
+    from statschat_ke_spark.index.query import topk
+
+    spark = _session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(input_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"statschat_scaling_idx_{cpus}")
+    shutil.rmtree(idx, ignore_errors=True)
+
+    t0 = time.time()
+    res = build_index(spark, docs, idx, lang="en", num_partitions=cpus * 2)
+    build_s = time.time() - t0
+
+    stats = json.load(open(os.path.join(idx, "stats.json")))
+
+    t0 = time.time()
+    n_q = 0
+    for q in [
+        "index growth rate report",
+        "county population census survey",
+        "market price inflation quarter",
+        "household labour income",
+    ]:
+        topk(spark, idx, q, k=10, mode="wand").collect()
+        n_q += 1
+    query_s = time.time() - t0
+
+    print(
+        "CHILD_RESULT "
+        + json.dumps(
+            {
+                "cpus": cpus,
+                "build_wall_s": build_s,
+                "n_docs": res.n_docs,
+                "n_postings": stats["n_postings"],
+                "docs_per_sec": res.n_docs / build_s,
+                "postings_per_sec": stats["n_postings"] / build_s,
+                "skew_ratio": stats["skew_ratio"],
+                "queries_per_sec": n_q / query_s,
+                "query_wall_s": query_s,
+            }
+        )
+    )
+    spark.stop()
+
+
+def run_child(cpus: int, input_dir: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child",
+         "--cpus", str(cpus), "--input", input_dir],
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+    raise RuntimeError(f"child local[{cpus}] produced no result")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--input", type=str, default="")
+    ap.add_argument("--n-docs", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "300000")))
+    ap.add_argument("--pairs", type=str, default="8:32",
+                    help="comma-separated N:4N pairs, e.g. '2:8,8:32'")
+    ap.add_argument("--out", type=str, default=os.path.join(REPO, "BENCH_SCALING.json"))
+    args = ap.parse_args()
+
+    if args.child:
+        child(args.cpus, args.input)
+        return
+
+    from statschat_ke_spark.corpus import spark_documents_distributed
+
+    input_dir = os.path.join(
+        tempfile.gettempdir(), f"statschat_scaling_corpus_{args.n_docs}"
+    )
+    if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        spark = _session(32)
+        spark.sparkContext.setLogLevel("ERROR")
+        t0 = time.time()
+        spark_documents_distributed(spark, args.n_docs, num_partitions=64).write.mode(
+            "overwrite"
+        ).parquet(input_dir)
+        print(f"corpus: {args.n_docs} docs materialized in {time.time()-t0:.1f}s")
+        spark.stop()
+
+    results: dict[int, dict] = {}
+    pairs = [tuple(int(x) for x in p.split(":")) for p in args.pairs.split(",")]
+    for n, n4 in pairs:
+        for cpus in (n, n4):
+            if cpus not in results:
+                print(f"running local[{cpus}] ...", flush=True)
+                results[cpus] = run_child(cpus, input_dir)
+                print(json.dumps(results[cpus]), flush=True)
+
+    report = {"n_docs": args.n_docs, "input": input_dir, "levels": results, "pairs": []}
+    for n, n4 in pairs:
+        lo, hi = results[n], results[n4]
+        ratio = n4 / n
+        eff_build = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
+        report["pairs"].append(
+            {
+                "N": n,
+                "4N": n4,
+                "throughput_N_docs_per_sec": lo["docs_per_sec"],
+                "throughput_4N_docs_per_sec": hi["docs_per_sec"],
+                "scaling_efficiency_build": eff_build,
+                "postings_per_sec_N": lo["postings_per_sec"],
+                "postings_per_sec_4N": hi["postings_per_sec"],
+            }
+        )
+        print(f"pair local[{n}]→local[{n4}]: build efficiency {eff_build:.3f}")
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

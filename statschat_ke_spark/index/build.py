@@ -7,11 +7,10 @@ SURVEY.md §2.9/§7:
 
 Phase A (stage per input chunk, checkpoint-resumable):
     documents --filter lang--> extract text (pandas UDF, byte-identical
-    contract) --tokenize+tf (single Arrow UDF pass)--> staged docs
-    (doc_id, url, doclen) + staged pairs (doc_id, term, tf, doclen),
-    one parquet subdir per chunk, a lineage row appended after each chunk
-    commits. Resume = anti-join chunks against the lineage table
-    (the Spark analog of the reference's UPDATE anti-joins,
+    contract) --tokenize+tf (single Arrow UDF pass)--> staged table
+    (doc_id, url, doclen, tfs), one parquet subdir per chunk, a lineage row
+    appended after each chunk commits. Resume = anti-join chunks against the
+    lineage table (the Spark analog of the reference's UPDATE anti-joins,
     pdf_downloader.py:133-152).
 
 Phase B (global merge):
@@ -48,7 +47,7 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from statschat_ke_spark.functions.extract import extract_text_udf
-from statschat_ke_spark.index.codec import BLOCK, encode_doc_ids, encode_tfs, vbyte_encode
+from statschat_ke_spark.index.codec import BLOCK, vbyte_encode_chunks
 
 K1 = 1.2
 B = 0.75
@@ -113,6 +112,56 @@ POSTINGS_SCHEMA = T.StructType(
 )
 
 
+def _pack_body(body: pd.DataFrame, avgdl: float, pid: int) -> pd.DataFrame:
+    """Fully-vectorized block packer: sorted (term_id, slice, doc_sort) rows
+    → posting blocks. One numpy pass per batch — group/block boundaries via
+    flatnonzero/reduceat, codec via a single chunked vbyte encode per column.
+    No per-group pandas objects (the naive per-group version was ~50× slower
+    and dominated the whole build)."""
+    n = len(body)
+    term = body["term_id"].to_numpy(dtype=np.int64)
+    slc = body["slice"].to_numpy(dtype=np.int32)
+    doc = body["doc_id"].to_numpy(dtype=np.int64)
+    doc_u = doc.view(np.uint64)
+    tf = body["tf"].to_numpy(dtype=np.int64)
+    dl = body["doclen"].to_numpy(dtype=np.int64)
+
+    new_group = np.empty(n, dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (term[1:] != term[:-1]) | (slc[1:] != slc[:-1])
+    gidx = np.cumsum(new_group) - 1
+    gstart = np.flatnonzero(new_group)
+    pos_in_group = np.arange(n, dtype=np.int64) - gstart[gidx]
+    is_block_start = new_group | (pos_in_group % BLOCK == 0)
+    bstart = np.flatnonzero(is_block_start)
+    bend = np.append(bstart[1:], n)
+
+    tfn = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
+    block_max = np.maximum.reduceat(tfn, bstart)
+
+    # delta-gap doc ids: absolute at each block start, gap within a block
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = doc_u[0]
+    gaps[1:] = doc_u[1:] - doc_u[:-1]
+    gaps[bstart] = doc_u[bstart]
+
+    return pd.DataFrame(
+        {
+            "term_id": term[bstart],
+            "slice": slc[bstart],
+            "block_id": (pos_in_group[bstart] // BLOCK).astype(np.int32),
+            "n": (bend - bstart).astype(np.int32),
+            "first_doc": doc[bstart],
+            "last_doc": doc[bend - 1],
+            "doc_ids": vbyte_encode_chunks(gaps, bstart),
+            "tfs": vbyte_encode_chunks(tf.astype(np.uint64) - np.uint64(1), bstart),
+            "dls": vbyte_encode_chunks(dl.astype(np.uint64), bstart),
+            "block_max_tfn": block_max,
+            "pid": np.full(len(bstart), pid, dtype=np.int32),
+        }
+    )
+
+
 def _pack_groups(avgdl: float):
     """mapInPandas packer: sorted (term_id, slice, doc_sort) rows → blocks.
 
@@ -123,38 +172,6 @@ def _pack_groups(avgdl: float):
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         leftover: pd.DataFrame | None = None
-
-        def pack_group(g: pd.DataFrame) -> pd.DataFrame:
-            doc_ids = g["doc_id"].to_numpy(dtype=np.int64)
-            doc_u = doc_ids.view(np.uint64)
-            tfs = g["tf"].to_numpy(dtype=np.int64)
-            dls = g["doclen"].to_numpy(dtype=np.int64)
-            tfn = (
-                tfs * (K1 + 1.0)
-                / (tfs + K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl))
-            )
-            rows = []
-            term_id = int(g["term_id"].iloc[0])
-            slc = int(g["slice"].iloc[0])
-            for b, start in enumerate(range(0, len(g), BLOCK)):
-                sl = slice(start, min(start + BLOCK, len(g)))
-                ids_u = doc_u[sl]
-                rows.append(
-                    {
-                        "term_id": term_id,
-                        "slice": slc,
-                        "block_id": b,
-                        "n": int(ids_u.size),
-                        "first_doc": int(doc_ids[sl.start]),
-                        "last_doc": int(doc_ids[sl.stop - 1]),
-                        "doc_ids": encode_doc_ids(ids_u),
-                        "tfs": encode_tfs(tfs[sl].astype(np.uint64)),
-                        "dls": vbyte_encode(dls[sl].astype(np.uint64)),
-                        "block_max_tfn": float(tfn[sl].max()),
-                        "pid": pid,
-                    }
-                )
-            return pd.DataFrame(rows)
 
         for batch in batches:
             if leftover is not None and len(leftover):
@@ -171,19 +188,9 @@ def _pack_groups(avgdl: float):
             first_tail = int(np.argmax(mask_tail)) if mask_tail.any() else len(batch)
             body, leftover = batch.iloc[:first_tail], batch.iloc[first_tail:]
             if len(body):
-                out = [
-                    pack_group(g)
-                    for _, g in body.groupby(["term_id", "slice"], sort=False)
-                ]
-                if out:
-                    yield pd.concat(out, ignore_index=True)
+                yield _pack_body(body, avgdl, pid)
         if leftover is not None and len(leftover):
-            out = [
-                pack_group(g)
-                for _, g in leftover.groupby(["term_id", "slice"], sort=False)
-            ]
-            if out:
-                yield pd.concat(out, ignore_index=True)
+            yield _pack_body(leftover.reset_index(drop=True), avgdl, pid)
 
     return pack
 
@@ -219,32 +226,21 @@ def _prepare_base(docs: DataFrame, lang: str | None) -> DataFrame:
 
 
 def _stage_chunk(spark: SparkSession, cdf: DataFrame, index_dir: str, chunk: int) -> int:
-    """Phase-A unit of work: tokenize one chunk, write staged docs+pairs, and
-    append the lineage row only after both writes commit (crash before the
-    lineage append ⇒ the chunk is simply redone on resume; writes are
-    per-chunk subdirs so a partial rewrite is idempotent)."""
+    """Phase-A unit of work: tokenize one chunk into ONE staged table
+    (doc_id, url, doclen, tfs) — a single action, no persist — and append the
+    lineage row only after the write commits (crash before the lineage append
+    ⇒ the chunk is simply redone on resume; writes are per-chunk subdirs so a
+    partial rewrite is idempotent). The pair explosion is deferred to phase B
+    where it streams out of columnar parquet instead of costing a second
+    materialization here."""
+    ts = time.time()
     tok = cdf.withColumn("tok", tokenize_doc_udf(F.col("text"))).select(
         "doc_id", "url", F.col("tok.doclen").alias("doclen"), F.col("tok.tfs").alias("tfs")
     )
-    tok = tok.persist()
-    ts = time.time()
-    staged_docs = tok.select("doc_id", "url", "doclen")
-    staged_docs.write.mode("overwrite").parquet(
-        os.path.join(index_dir, "staged_docs", f"chunk={chunk}")
-    )
-    pairs = tok.select(
-        "doc_id", "doclen", F.explode("tfs").alias("e")
-    ).select(
-        "doc_id",
-        "doclen",
-        F.col("e.term").alias("term"),
-        F.col("e.tf").alias("tf"),
-    )
-    pairs.write.mode("overwrite").parquet(
-        os.path.join(index_dir, "staged_pairs", f"chunk={chunk}")
-    )
-    n_rows = tok.count()
-    tok.unpersist()
+    path = os.path.join(index_dir, "staged", f"chunk={chunk}")
+    tok.write.mode("overwrite").parquet(path)
+    # row count from parquet footers — metadata-only, no recompute
+    n_rows = spark.read.parquet(path).count()
     lineage_row = spark.createDataFrame(
         [(chunk, int(n_rows), float(time.time() - ts), time.time())],
         "chunk int, rows_in long, wall_s double, committed_at double",
@@ -275,8 +271,8 @@ def build_index(
 ) -> BuildResult:
     """Build the full index under ``index_dir``.
 
-    Layout: staged_docs/ staged_pairs/ (phase A, per-chunk), docs/, lexicon/,
-    postings/, _lineage/, _metrics/, stats.json, _SUCCESS.json.
+    Layout: staged/ (phase A, per-chunk), docs/, lexicon/, postings/,
+    _lineage/, _metrics/, stats.json, _SUCCESS.json.
 
     ``stop_after_chunks`` caps phase-A work done in this invocation (an
     operational budget knob); when the cap fires before all chunks are staged
@@ -346,7 +342,7 @@ def update_index(
     t0 = time.time()
     P = num_partitions or spark.sparkContext.defaultParallelism
     base = _prepare_base(new_docs, lang)
-    existing_path = os.path.join(index_dir, "staged_docs")
+    existing_path = os.path.join(index_dir, "staged")
     if os.path.exists(existing_path):
         existing = spark.read.parquet(existing_path).select("url")
         base = base.join(existing, "url", "left_anti")
@@ -383,18 +379,30 @@ def merge_index(
 ) -> BuildResult:
     """Phase B: global stats, lexicon, postings from all staged chunks."""
     t0 = time.time()
+    timings: dict[str, float] = {}
+    tp = time.time()
     P = num_partitions or spark.sparkContext.defaultParallelism
-    staged_docs = spark.read.parquet(os.path.join(index_dir, "staged_docs"))
-    staged_pairs = spark.read.parquet(os.path.join(index_dir, "staged_pairs"))
+    staged = spark.read.parquet(os.path.join(index_dir, "staged"))
+    staged_docs = staged.select("doc_id", "url", "doclen")
+    # pairs stream out of the columnar staged table — the explode never
+    # materializes to storage
+    staged_pairs = staged.select(
+        "doc_id", "doclen", F.explode("tfs").alias("e")
+    ).select(
+        "doc_id", "doclen", F.col("e.term").alias("term"), F.col("e.tf").alias("tf")
+    )
 
     stats_row = staged_docs.agg(
         F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl")
     ).collect()[0]
     n_docs, avgdl = int(stats_row.n_docs), float(stats_row.avgdl or 0.0)
+    timings["stats"] = time.time() - tp
 
+    tp = time.time()
     staged_docs.repartition(P, "doc_id").write.mode("overwrite").parquet(
         os.path.join(index_dir, "docs")
     )
+    timings["docs_write"] = time.time() - tp
 
     keyed = staged_pairs.select(
         F.xxhash64("term").alias("term_id"),
@@ -413,6 +421,7 @@ def merge_index(
         ).alias("tfn"),
     )
 
+    tp = time.time()
     lexicon = keyed.groupBy("term_id").agg(
         F.first("term").alias("term"),
         F.count("*").alias("df"),
@@ -422,7 +431,9 @@ def merge_index(
     lexicon.repartitionByRange(max(4, P // 4), "term_id").sortWithinPartitions(
         "term_id"
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "lexicon"))
+    timings["lexicon"] = time.time() - tp
 
+    tp = time.time()
     postings = (
         keyed.select("term_id", "slice", "doc_id", "tf", "doclen", "doc_sort")
         .repartitionByRange(P, "term_id", "slice")
@@ -430,8 +441,10 @@ def merge_index(
         .mapInPandas(_pack_groups(avgdl), schema=POSTINGS_SCHEMA)
     )
     postings.write.mode("overwrite").parquet(os.path.join(index_dir, "postings"))
+    timings["postings"] = time.time() - tp
 
     # ---- metrics: bytes/partition, postings/sec, skew ratio (north_rule) ----
+    tp = time.time()
     pst = spark.read.parquet(os.path.join(index_dir, "postings"))
     per_pid = pst.groupBy("pid").agg(
         F.count("*").alias("posting_rows"),
@@ -446,7 +459,10 @@ def merge_index(
         F.avg("postings").alias("avg_p"),
         F.count("*").alias("parts"),
     ).collect()[0]
-    n_terms = lexicon.count()
+    # lexicon row count from the parquet just written (metadata-only count —
+    # recomputing the lexicon aggregation here would rescan all pairs)
+    n_terms = spark.read.parquet(os.path.join(index_dir, "lexicon")).count()
+    timings["metrics"] = time.time() - tp
     wall = time.time() - t0
 
     stats = {
@@ -462,6 +478,7 @@ def merge_index(
         "postings_per_sec": (int(agg.postings or 0) / wall) if wall > 0 else 0.0,
         "skew_ratio": float(agg.max_p / agg.avg_p) if agg.avg_p else 1.0,
         "build_wall_s": wall,
+        "phase_timings_s": {k: round(v, 3) for k, v in timings.items()},
     }
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=2)

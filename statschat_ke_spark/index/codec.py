@@ -58,6 +58,36 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def _vbyte_lengths(v: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (≥1, ≤10)."""
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp = tmp >> np.uint64(7)
+    return nbytes
+
+
+def vbyte_encode_chunks(values: np.ndarray, chunk_starts: np.ndarray) -> list[bytes]:
+    """Encode one value array, return per-chunk byte strings.
+
+    ``chunk_starts`` are value indices (first must be 0). One vectorized
+    encode over the whole array; chunk extraction is buffer slicing — this is
+    what lets the posting packer emit hundreds of thousands of blocks per
+    batch without per-block codec calls.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return []
+    buf = vbyte_encode(v)
+    ends = np.cumsum(_vbyte_lengths(v))
+    # byte offset where each chunk begins
+    starts_b = np.zeros(len(chunk_starts), dtype=np.int64)
+    starts_b[1:] = ends[np.asarray(chunk_starts[1:], dtype=np.int64) - 1]
+    ends_b = np.append(starts_b[1:], len(buf))
+    return [buf[int(s):int(e)] for s, e in zip(starts_b, ends_b)]
+
+
 def vbyte_decode(buf: bytes) -> np.ndarray:
     """Decode vbyte bytes → uint64 array (vectorized)."""
     raw = np.frombuffer(buf, dtype=np.uint8)
