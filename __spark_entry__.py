@@ -367,6 +367,108 @@ def _fuzzy_supersede_parts(spark, sf_dir):
     return match_superseded(new, old)
 
 
+_PP_NOW = "2024-06-30"
+
+
+def _search_postproc(spark, sf_dir):
+    """Reference post-retrieval pipeline (P5 threshold → A2 dedup → W2 decay
+    rerank → P6 relative filter → W3/W4 rank+head → P11 rounding) over a
+    deterministic synthetic result relation derived from `documents`."""
+    from statschat_ke_spark.operators.postproc import search_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    results = docs.select(
+        "doc_id",
+        F.col("source").alias("title"),
+        F.date_add(
+            F.lit("2020-01-01").cast("date"),
+            F.pmod(F.col("doc_id") * 7, F.lit(900)).cast("int"),
+        ).alias("date"),
+        (F.pmod(F.col("doc_id") * 131, F.lit(997)) / 100.0 + 1.0).alias("score"),
+    )
+    out = search_pipeline(
+        results,
+        min_score=2.0,
+        latest_weight=2.0,
+        now=F.lit(_PP_NOW).cast("date"),
+        k_contexts=5,
+    )
+    return out.select(
+        "doc_id",
+        "title",
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        F.col("score").alias("score"),
+        F.col("doc_num").cast("long").alias("doc_num"),
+    )
+
+
+def _mm_media_pipeline(spark, sf_dir):
+    """Multimodal plumbing: documents → media table (binary payload + typed
+    meta) → stubbed decode → resize → per-image features. Rows-only check
+    (binary pipeline has no SQL equivalent); determinism tested in pytest."""
+    from statschat_ke_spark.functions.multimodal import (
+        decode_images,
+        image_features,
+        media_from_documents,
+        resize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    media = media_from_documents(docs)
+    feats = image_features(resize_images(decode_images(media, num_partitions=8), 16, 16))
+    return feats.select(
+        "media_id",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.round("std_intensity", 6).alias("std_intensity"),
+    )
+
+
+_EVAL_KEYWORDS = ["the", "county", "report", "data"]
+
+
+def _eval_keyword_recall(spark, sf_dir):
+    """A5 keyword-recall metric (evaluation.py:176-194) as a distributed
+    aggregation: per-language mean recall of a fixed keyword set."""
+    from statschat_ke_spark.operators.evaluation import keyword_recall
+
+    docs = _t(spark, sf_dir, "documents")
+    kw = F.array(*[F.lit(k) for k in _EVAL_KEYWORDS])
+    return (
+        docs.select("lang", keyword_recall(F.col("text"), kw).alias("recall"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("recall"), 6).alias("mean_recall"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def _eval_reciprocal_rank(spark, sf_dir):
+    """A6 reciprocal-rank metric (evaluation.py:202-232): 1/rank of the
+    expected doc in each source's top-10 (by n_chars desc)."""
+    from statschat_ke_spark.operators.evaluation import reciprocal_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    ranked = F.transform(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("n_chars")).alias("neg_nc"), "doc_id"))
+            ),
+            1,
+            10,
+        ),
+        lambda s: s.doc_id,
+    )
+    return (
+        docs.groupBy("source")
+        .agg(ranked.alias("ranked"), F.min("doc_id").alias("expected"))
+        .select(
+            "source",
+            F.round(reciprocal_rank(F.col("ranked"), F.col("expected")), 6).alias("rr"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -388,6 +490,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_quality_profile": _ft_quality_profile,
         "sim_lsh_topk": _sim_lsh_topk,
         "fuzzy_supersede_parts": _fuzzy_supersede_parts,
+        "search_postproc": _search_postproc,
+        "mm_media_pipeline": _mm_media_pipeline,
+        "eval_keyword_recall": _eval_keyword_recall,
+        "eval_reciprocal_rank": _eval_reciprocal_rank,
     }
 
 
@@ -534,8 +640,71 @@ ORDER BY cosine DESC, c.vec_id ASC LIMIT 10
 """
 
 
+_SEARCH_POSTPROC_SQL = f"""
+WITH results AS (
+    SELECT doc_id, source AS title,
+           DATE '2020-01-01' + (((doc_id * 7) % 900)::INT) AS d,
+           ((doc_id * 131) % 997) / 100.0 + 1.0 AS score
+    FROM documents
+),
+thresh AS (SELECT * FROM results WHERE score >= 2.0),
+dedup AS (
+    SELECT doc_id, title, d, score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY title, d
+                                     ORDER BY score DESC, doc_id ASC) AS rn
+        FROM thresh
+    ) WHERE rn = 1
+),
+decayed AS (
+    SELECT doc_id, title, d,
+           score * pow(1.5 - 1.0 / (1.0 + exp(-date_diff('day', d, DATE '{_PP_NOW}')
+                                              / (400.0 / 2.0))), 2.0) AS score
+    FROM dedup
+),
+rel AS (
+    SELECT * FROM (SELECT *, MAX(score) OVER () AS best FROM decayed)
+    WHERE score >= best / 1.5
+),
+ranked AS (
+    SELECT doc_id, title, d, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS doc_num
+    FROM rel
+)
+SELECT doc_id, title, strftime(d, '%Y-%m-%d') AS date,
+       ROUND(score, 2) AS score, doc_num
+FROM ranked WHERE doc_num <= 5
+"""
+
+
+_KW_TERMS_SQL = " + ".join(
+    f"(CASE WHEN contains(lower(text), '{k}') THEN 1 ELSE 0 END)" for k in _EVAL_KEYWORDS
+)
+
+_EVAL_KW_SQL = f"""
+SELECT lang,
+       ROUND(AVG(({_KW_TERMS_SQL}) / {len(_EVAL_KEYWORDS)}.0), 6) AS mean_recall,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+_EVAL_RR_SQL = """
+WITH lists AS (
+    SELECT source,
+           (list(doc_id ORDER BY n_chars DESC, doc_id ASC))[1:10] AS ranked,
+           MIN(doc_id) AS expected
+    FROM documents GROUP BY source
+)
+SELECT source,
+       ROUND(COALESCE(1.0 / NULLIF(list_position(ranked, expected), 0), 0.0), 6) AS rr
+FROM lists
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "search_postproc": _SEARCH_POSTPROC_SQL,
+        "eval_keyword_recall": _EVAL_KW_SQL,
+        "eval_reciprocal_rank": _EVAL_RR_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ft_quality_profile": _QUALITY_SQL,
         "sim_lsh_topk": _sim_lsh_sql(),

@@ -49,6 +49,40 @@ def _session(cpus: int, shuffle_partitions: int | None = None):
     )
 
 
+def _subtree_cpu_seconds() -> float:
+    """CPU seconds consumed by this process tree (driver + JVM + Python
+    workers). The sandbox VM is wholesale-paused at random by its hypervisor,
+    which inflates wall clock but not CPU time — CPU-normalized throughput is
+    the pause-immune signal, reported alongside best-of-N wall numbers."""
+    from collections import defaultdict
+
+    me = os.getpid()
+    procs: dict[int, tuple[int, int]] = {}
+    tck = os.sysconf("SC_CLK_TCK")
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as f:
+                s = f.read().decode("latin1")
+        except OSError:
+            continue
+        rp = s.rindex(")")
+        fields = s[rp + 2:].split()
+        ppid = int(fields[1])
+        jiffies = int(fields[11]) + int(fields[12]) + int(fields[13]) + int(fields[14])
+        procs[int(d)] = (ppid, jiffies)
+    ch = defaultdict(list)
+    for pid, (pp, _) in procs.items():
+        ch[pp].append(pid)
+    total, stack = 0, [me]
+    while stack:
+        p = stack.pop()
+        total += procs.get(p, (0, 0))[1]
+        stack.extend(ch.get(p, []))
+    return total / tck
+
+
 def child(cpus: int, input_dir: str) -> None:
     import shutil
 
@@ -61,9 +95,11 @@ def child(cpus: int, input_dir: str) -> None:
     idx = os.path.join(tempfile.gettempdir(), f"statschat_scaling_idx_{cpus}")
     shutil.rmtree(idx, ignore_errors=True)
 
+    cpu0 = _subtree_cpu_seconds()
     t0 = time.time()
-    res = build_index(spark, docs, idx, lang="en", num_partitions=cpus * 2)
+    res = build_index(spark, docs, idx, lang="en", num_partitions=cpus)
     build_s = time.time() - t0
+    build_cpu_s = _subtree_cpu_seconds() - cpu0
 
     stats = json.load(open(os.path.join(idx, "stats.json")))
 
@@ -85,6 +121,8 @@ def child(cpus: int, input_dir: str) -> None:
             {
                 "cpus": cpus,
                 "build_wall_s": build_s,
+                "build_cpu_s": build_cpu_s,
+                "cpu_concurrency": build_cpu_s / build_s if build_s else 0.0,
                 "n_docs": res.n_docs,
                 "n_postings": stats["n_postings"],
                 "docs_per_sec": res.n_docs / build_s,
@@ -120,6 +158,11 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "300000")))
     ap.add_argument("--pairs", type=str, default="8:32",
                     help="comma-separated N:4N pairs, e.g. '2:8,8:32'")
+    ap.add_argument("--repeats", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3")),
+                    help="runs per level; best (min wall) run is used — the "
+                         "sandbox hypervisor pauses the VM at random, so a "
+                         "single run can be arbitrarily inflated")
     ap.add_argument("--out", type=str, default=os.path.join(REPO, "BENCH_SCALING.json"))
     args = ap.parse_args()
 
@@ -143,15 +186,31 @@ def main() -> None:
         spark.stop()
 
     results: dict[int, dict] = {}
+    all_runs: dict[int, list] = {}
     pairs = [tuple(int(x) for x in p.split(":")) for p in args.pairs.split(",")]
+    levels = []
     for n, n4 in pairs:
         for cpus in (n, n4):
-            if cpus not in results:
-                print(f"running local[{cpus}] ...", flush=True)
-                results[cpus] = run_child(cpus, input_dir)
-                print(json.dumps(results[cpus]), flush=True)
+            if cpus not in levels:
+                levels.append(cpus)
+    for cpus in levels:
+        runs = []
+        for r in range(args.repeats):
+            print(f"running local[{cpus}] (run {r + 1}/{args.repeats}) ...", flush=True)
+            runs.append(run_child(cpus, input_dir))
+            print(json.dumps(runs[-1]), flush=True)
+        all_runs[cpus] = runs
+        results[cpus] = min(runs, key=lambda x: x["build_wall_s"])
 
-    report = {"n_docs": args.n_docs, "input": input_dir, "levels": results, "pairs": []}
+    report = {
+        "n_docs": args.n_docs,
+        "input": input_dir,
+        "repeats": args.repeats,
+        "selection": "min build_wall_s per level (hypervisor-pause robust)",
+        "levels": results,
+        "all_runs": all_runs,
+        "pairs": [],
+    }
     for n, n4 in pairs:
         lo, hi = results[n], results[n4]
         ratio = n4 / n
@@ -165,6 +224,8 @@ def main() -> None:
                 "scaling_efficiency_build": eff_build,
                 "postings_per_sec_N": lo["postings_per_sec"],
                 "postings_per_sec_4N": hi["postings_per_sec"],
+                "cpu_concurrency_N": lo["cpu_concurrency"],
+                "cpu_concurrency_4N": hi["cpu_concurrency"],
             }
         )
         print(f"pair local[{n}]→local[{n4}]: build efficiency {eff_build:.3f}")

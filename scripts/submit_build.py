@@ -1,0 +1,80 @@
+"""spark-submit entry point for the index build (north_rule launch shape).
+
+Cluster launch:
+
+    zip -r /tmp/statschat_ke_spark.zip statschat_ke_spark
+    spark-submit --master <cluster> \
+        --py-files /tmp/statschat_ke_spark.zip \
+        scripts/submit_build.py \
+        --input  <parquet-or-iceberg path of documents(url,warc_ts,html,text,lang)> \
+        --index-dir <output dir> \
+        [--lang en] [--partitions N] [--chunks K] [--resume] [--update]
+
+No ``.master(...)`` is set here — the deploy mode, executor count and cores
+come from spark-submit, so the same script runs local[N] in the sandbox and
+multi-executor on a real cluster. Sandbox smoke:
+
+    spark-submit --master 'local[4]' --py-files /tmp/statschat_ke_spark.zip \
+        scripts/submit_build.py --input /root/testdata/sf0.001/documents.parquet \
+        --index-dir /tmp/submit_idx --partitions 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--lang", default="en")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--chunks", type=int, default=1)
+    ap.add_argument("--stop-after-chunks", type=int, default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--update", action="store_true",
+                    help="incremental UPDATE into an existing index")
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("statschat_index_build")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    # imported AFTER getOrCreate so --py-files distribution is in effect
+    from statschat_ke_spark.index.build import build_index, update_index
+
+    docs = spark.read.parquet(args.input)
+    if args.update:
+        res = update_index(
+            spark, docs, args.index_dir,
+            lang=args.lang, num_partitions=args.partitions,
+        )
+    else:
+        res = build_index(
+            spark, docs, args.index_dir,
+            lang=args.lang, num_partitions=args.partitions,
+            n_chunks=args.chunks, resume=args.resume,
+            stop_after_chunks=args.stop_after_chunks,
+        )
+    print(json.dumps({
+        "complete": res.complete,
+        "n_docs": res.n_docs,
+        "n_terms": res.n_terms,
+        "wall_s": round(res.wall_s, 2),
+        "chunks_processed": res.chunks_processed,
+        "chunks_skipped": res.chunks_skipped,
+        "index_dir": res.index_dir,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,14 @@ From-scratch re-expression of the capabilities of KNBS-StatsChat/statschat-ke
                          salted term-range merge, delta-gap+vbyte, block-max)
 - ``index.query``        BM25 top-k (exhaustive + block-max WAND)
 - ``index.oracle``       single-node numpy oracle for rank-identity tests
-- ``operators``          dedup / similarity / reference post-processing ops
+- ``operators``          dedup / similarity / latest-version / post-processing
+                         / golden-question evaluation ops
+- ``sources.web``        link extraction + crawl-frontier shaping (S1/S2)
+- ``streaming.ingest``   Trigger.AvailableNow landing-zone drain sharing the
+                         batch phase-A staging + lineage path
+- ``functions.multimodal`` binary media columns: stub-codec decode / resize /
+                         features / frame-sample over mapInPandas
+- ``functions.textstats`` language-ID, quality scoring, token counts (JVM)
 """
 
 __version__ = "0.1.0"

@@ -13,12 +13,23 @@ Phase A (stage per input chunk, checkpoint-resumable):
     lineage table (the Spark analog of the reference's UPDATE anti-joins,
     pdf_downloader.py:133-152).
 
-Phase B (global merge):
-    pairs --hash agg--> lexicon(term_id, term, df, cf, max_tf_norm)
-    pairs --repartitionByRange(term_id, slice)-->
+Phase B (global merge) — ONE heavy pass over the (doc, term) pairs:
+    staged --explode--> pairs
+          --repartition(P, term_id, slice)  [bucketed term shuffle]-->
           --sortWithinPartitions(term_id, slice, doc_sort_key)-->
           --mapInPandas pack--> postings blocks (delta-gap + vbyte, ≤128
-            docs, per-block max impact) + per-partition metrics.
+            docs, per-block max impact, per-block term/tf_sum/bytes)
+    postings --groupBy(term_id) [2-3 orders smaller]--> lexicon
+    postings --column-pruned agg--> per-partition metrics.
+
+Partitioning note: the term shuffle is a STATIC bucket partition
+(hash of (term_id, slice)) rather than ``repartitionByRange`` — Spark's range
+partitioner samples its child, which would execute the full explode twice per
+build. term_id is already a uniform hash of the term, so hash buckets are
+balance-equivalent to ranges; within each partition rows are sorted by
+(term_id, slice, doc), giving parquet row-group min/max stats that prune
+query-time term lookups just like a range layout. This is the Iceberg
+``bucket(term_id)`` layout. The skew story is unchanged (slices, below).
 
 Skew handling: every posting row is keyed by (term_id, slice) where
 slice = top SLICE_BITS bits of the unsigned doc_id. A hot term ("the" at web
@@ -38,6 +49,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -53,29 +65,26 @@ K1 = 1.2
 B = 0.75
 SLICE_BITS = 6  # 64 doc-range slices; raise for real clusters
 LONG_MIN = -(2**63)
+# Arrow batch rows for the pack stage. Pack input rows are 28 fixed-width
+# bytes, so 128k rows ≈ 3.6 MB per batch; the 10k default caused a
+# batch-ping-pong collapse under high task concurrency (measured 12× slower
+# at 32 threads). Set per-stage, restored after.
+PACK_ARROW_BATCH = 131072
 
 TOKENIZED_SCHEMA = T.StructType(
     [
         T.StructField("doclen", T.IntegerType(), False),
-        T.StructField(
-            "tfs",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("term", T.StringType(), False),
-                        T.StructField("tf", T.IntegerType(), False),
-                    ]
-                )
-            ),
-            False,
-        ),
+        T.StructField("terms", T.ArrayType(T.StringType()), False),
+        T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
     ]
 )
 
 
 @F.pandas_udf(TOKENIZED_SCHEMA)
 def tokenize_doc_udf(text: pd.Series) -> pd.DataFrame:
-    """One Arrow pass producing doclen + per-doc term frequencies.
+    """One Arrow pass producing doclen + per-doc term frequencies as two
+    PARALLEL PRIMITIVE ARRAYS (terms, tfs) — an array<struct> here would cost
+    one Python dict per (doc, term) pair, which measurably dominated phase A.
 
     Map-side tf aggregation: downstream row count is bounded by Σ df
     (distinct terms per doc), not token positions — the sort-based analog of
@@ -87,12 +96,20 @@ def tokenize_doc_udf(text: pd.Series) -> pd.DataFrame:
     token_re = re.compile(r"[a-z0-9]+")
     lowered = text.fillna("").str.lower()
     doclens: list[int] = []
-    tf_lists: list[list[dict]] = []
+    term_lists: list[list[str]] = []
+    tf_lists: list[list[int]] = []
     for s in lowered:
         c = Counter(token_re.findall(s))
         doclens.append(sum(c.values()))
-        tf_lists.append([{"term": t, "tf": int(n)} for t, n in c.items()])
-    return pd.DataFrame({"doclen": pd.Series(doclens, dtype="int32"), "tfs": tf_lists})
+        term_lists.append(list(c.keys()))
+        tf_lists.append(list(c.values()))
+    return pd.DataFrame(
+        {
+            "doclen": pd.Series(doclens, dtype="int32"),
+            "terms": term_lists,
+            "tfs": tf_lists,
+        }
+    )
 
 
 POSTINGS_SCHEMA = T.StructType(
@@ -101,30 +118,39 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("slice", T.IntegerType(), False),
         T.StructField("block_id", T.IntegerType(), False),
         T.StructField("n", T.IntegerType(), False),
+        T.StructField("tf_sum", T.LongType(), False),
         T.StructField("first_doc", T.LongType(), False),
         T.StructField("last_doc", T.LongType(), False),
         T.StructField("doc_ids", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("dls", T.BinaryType(), False),
         T.StructField("block_max_tfn", T.DoubleType(), False),
+        T.StructField("bytes", T.IntegerType(), False),
         T.StructField("pid", T.IntegerType(), False),
     ]
 )
 
 
-def _pack_body(body: pd.DataFrame, avgdl: float, pid: int) -> pd.DataFrame:
+_PACK_COLS = ("term_id", "slice", "doc_id", "tf", "doclen")
+
+
+def _pack_body(cols: dict, avgdl: float, pid: int):
     """Fully-vectorized block packer: sorted (term_id, slice, doc_sort) rows
-    → posting blocks. One numpy pass per batch — group/block boundaries via
+    → posting-block arrays. One numpy pass — group/block boundaries via
     flatnonzero/reduceat, codec via a single chunked vbyte encode per column.
-    No per-group pandas objects (the naive per-group version was ~50× slower
-    and dominated the whole build)."""
-    n = len(body)
-    term = body["term_id"].to_numpy(dtype=np.int64)
-    slc = body["slice"].to_numpy(dtype=np.int32)
-    doc = body["doc_id"].to_numpy(dtype=np.int64)
+    ``cols`` holds plain numpy arrays; returns a pyarrow RecordBatch. No
+    pandas and no per-row Python objects anywhere (the pandas per-group
+    version was ~50× slower; even batchwise pandas cost an Arrow→object
+    conversion that throttled concurrent workers)."""
+    import pyarrow as pa
+
+    term = cols["term_id"]
+    slc = cols["slice"]
+    doc = cols["doc_id"]
     doc_u = doc.view(np.uint64)
-    tf = body["tf"].to_numpy(dtype=np.int64)
-    dl = body["doclen"].to_numpy(dtype=np.int64)
+    tf = cols["tf"].astype(np.int64)
+    dl = cols["doclen"].astype(np.int64)
+    n = len(term)
 
     new_group = np.empty(n, dtype=bool)
     new_group[0] = True
@@ -138,6 +164,7 @@ def _pack_body(body: pd.DataFrame, avgdl: float, pid: int) -> pd.DataFrame:
 
     tfn = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
     block_max = np.maximum.reduceat(tfn, bstart)
+    tf_sum = np.add.reduceat(tf, bstart)
 
     # delta-gap doc ids: absolute at each block start, gap within a block
     gaps = np.empty(n, dtype=np.uint64)
@@ -145,52 +172,75 @@ def _pack_body(body: pd.DataFrame, avgdl: float, pid: int) -> pd.DataFrame:
     gaps[1:] = doc_u[1:] - doc_u[:-1]
     gaps[bstart] = doc_u[bstart]
 
-    return pd.DataFrame(
-        {
-            "term_id": term[bstart],
-            "slice": slc[bstart],
-            "block_id": (pos_in_group[bstart] // BLOCK).astype(np.int32),
-            "n": (bend - bstart).astype(np.int32),
-            "first_doc": doc[bstart],
-            "last_doc": doc[bend - 1],
-            "doc_ids": vbyte_encode_chunks(gaps, bstart),
-            "tfs": vbyte_encode_chunks(tf.astype(np.uint64) - np.uint64(1), bstart),
-            "dls": vbyte_encode_chunks(dl.astype(np.uint64), bstart),
-            "block_max_tfn": block_max,
-            "pid": np.full(len(bstart), pid, dtype=np.int32),
-        }
+    enc_ids = vbyte_encode_chunks(gaps, bstart)
+    enc_tfs = vbyte_encode_chunks(tf.astype(np.uint64) - np.uint64(1), bstart)
+    enc_dls = vbyte_encode_chunks(dl.astype(np.uint64), bstart)
+
+    nb = len(bstart)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(term[bstart], type=pa.int64()),
+            pa.array(slc[bstart].astype(np.int32), type=pa.int32()),
+            pa.array((pos_in_group[bstart] // BLOCK).astype(np.int32), type=pa.int32()),
+            pa.array((bend - bstart).astype(np.int32), type=pa.int32()),
+            pa.array(tf_sum.astype(np.int64), type=pa.int64()),
+            pa.array(doc[bstart], type=pa.int64()),
+            pa.array(doc[bend - 1], type=pa.int64()),
+            pa.array(enc_ids, type=pa.binary()),
+            pa.array(enc_tfs, type=pa.binary()),
+            pa.array(enc_dls, type=pa.binary()),
+            pa.array(block_max, type=pa.float64()),
+            pa.array(
+                np.array(
+                    [len(a) + len(b) + len(c) for a, b, c in zip(enc_ids, enc_tfs, enc_dls)],
+                    dtype=np.int32,
+                ),
+                type=pa.int32(),
+            ),
+            pa.array(np.full(nb, pid, dtype=np.int32), type=pa.int32()),
+        ],
+        names=[
+            "term_id", "slice", "block_id", "n", "tf_sum", "first_doc",
+            "last_doc", "doc_ids", "tfs", "dls", "block_max_tfn", "bytes", "pid",
+        ],
     )
 
 
 def _pack_groups(avgdl: float):
-    """mapInPandas packer: sorted (term_id, slice, doc_sort) rows → blocks.
+    """mapInArrow packer: sorted (term_id, slice, doc_sort) rows → blocks.
 
+    Arrow-native: input RecordBatch columns view as numpy zero-copy (all
+    fixed-width numerics — the term string never travels through this path).
     Handles Arrow batch boundaries splitting a (term_id, slice) group by
-    carrying the trailing group between batches.
+    carrying the trailing group's arrays between batches.
     """
 
-    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def pack(batches):
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
-        leftover: pd.DataFrame | None = None
+        leftover: dict | None = None
 
-        for batch in batches:
-            if leftover is not None and len(leftover):
-                batch = pd.concat([leftover, batch], ignore_index=True)
-            if not len(batch):
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            # split off the trailing (possibly incomplete) group
-            keys = batch["term_id"].to_numpy()
-            slcs = batch["slice"].to_numpy()
-            last_key, last_slc = keys[-1], slcs[-1]
-            # first row of the trailing (possibly incomplete) group — groups
-            # are contiguous because input is sorted by (term_id, slice)
-            mask_tail = (keys == last_key) & (slcs == last_slc)
-            first_tail = int(np.argmax(mask_tail)) if mask_tail.any() else len(batch)
-            body, leftover = batch.iloc[:first_tail], batch.iloc[first_tail:]
-            if len(body):
+            cols = {
+                name: rb.column(i).to_numpy(zero_copy_only=False)
+                for i, name in enumerate(rb.schema.names)
+            }
+            if leftover is not None:
+                cols = {
+                    k: np.concatenate([leftover[k], cols[k]]) for k in _PACK_COLS
+                }
+            # split off the trailing (possibly incomplete) group — groups are
+            # contiguous because input is sorted by (term_id, slice)
+            keys, slcs = cols["term_id"], cols["slice"]
+            mask_tail = (keys == keys[-1]) & (slcs == slcs[-1])
+            first_tail = int(np.argmax(mask_tail)) if mask_tail.any() else len(keys)
+            if first_tail > 0:
+                body = {k: cols[k][:first_tail] for k in _PACK_COLS}
                 yield _pack_body(body, avgdl, pid)
-        if leftover is not None and len(leftover):
-            yield _pack_body(leftover.reset_index(drop=True), avgdl, pid)
+            leftover = {k: cols[k][first_tail:] for k in _PACK_COLS}
+        if leftover is not None and len(leftover["term_id"]):
+            yield _pack_body(leftover, avgdl, pid)
 
     return pack
 
@@ -235,7 +285,11 @@ def _stage_chunk(spark: SparkSession, cdf: DataFrame, index_dir: str, chunk: int
     materialization here."""
     ts = time.time()
     tok = cdf.withColumn("tok", tokenize_doc_udf(F.col("text"))).select(
-        "doc_id", "url", F.col("tok.doclen").alias("doclen"), F.col("tok.tfs").alias("tfs")
+        "doc_id",
+        "url",
+        F.col("tok.doclen").alias("doclen"),
+        F.col("tok.terms").alias("terms"),
+        F.col("tok.tfs").alias("tfs"),
     )
     path = os.path.join(index_dir, "staged", f"chunk={chunk}")
     tok.write.mode("overwrite").parquet(path)
@@ -384,13 +438,6 @@ def merge_index(
     P = num_partitions or spark.sparkContext.defaultParallelism
     staged = spark.read.parquet(os.path.join(index_dir, "staged"))
     staged_docs = staged.select("doc_id", "url", "doclen")
-    # pairs stream out of the columnar staged table — the explode never
-    # materializes to storage
-    staged_pairs = staged.select(
-        "doc_id", "doclen", F.explode("tfs").alias("e")
-    ).select(
-        "doc_id", "doclen", F.col("e.term").alias("term"), F.col("e.tf").alias("tf")
-    )
 
     stats_row = staged_docs.agg(
         F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl")
@@ -398,71 +445,126 @@ def merge_index(
     n_docs, avgdl = int(stats_row.n_docs), float(stats_row.avgdl or 0.0)
     timings["stats"] = time.time() - tp
 
-    tp = time.time()
-    staged_docs.repartition(P, "doc_id").write.mode("overwrite").parquet(
-        os.path.join(index_dir, "docs")
-    )
-    timings["docs_write"] = time.time() - tp
+    def _write_docs() -> None:
+        tpd = time.time()
+        staged_docs.repartition(P, "doc_id").write.mode("overwrite").parquet(
+            os.path.join(index_dir, "docs")
+        )
+        timings["docs_write"] = time.time() - tpd
 
-    keyed = staged_pairs.select(
-        F.xxhash64("term").alias("term_id"),
-        "term",
-        "doc_id",
-        "tf",
-        "doclen",
-        F.shiftrightunsigned(F.col("doc_id"), 64 - SLICE_BITS)
-        .cast("int")
-        .alias("slice"),
-        # unsigned doc order == signed order of doc_id XOR LONG_MIN
-        F.col("doc_id").bitwiseXOR(F.lit(LONG_MIN)).alias("doc_sort"),
-        (
-            F.col("tf") * (K1 + 1.0)
-            / (F.col("tf") + K1 * (1.0 - B + B * F.col("doclen") / F.lit(avgdl)))
-        ).alias("tfn"),
-    )
-
+    # ---- postings: the ONE heavy pass over all (doc, term) pairs ----
+    # pairs stream out of the columnar staged table (explode of parallel
+    # primitive arrays — never materialized to storage); one hash shuffle on
+    # (term_id, slice) co-locates each term's doc-range slices WITHOUT the
+    # extra range-sampling scan repartitionByRange would cost; the
+    # within-partition sort restores (term_id, slice, unsigned-doc) order, so
+    # posting bytes are identical to a range-partitioned layout and parquet
+    # row-group min/max stats on the sorted term_id still prune query scans.
     tp = time.time()
-    lexicon = keyed.groupBy("term_id").agg(
-        F.first("term").alias("term"),
-        F.count("*").alias("df"),
-        F.sum("tf").alias("cf"),
-        F.max("tfn").alias("max_tfn"),
+    pairs = staged.select(
+        "doc_id", "doclen", F.explode(F.arrays_zip("terms", "tfs")).alias("e")
+    ).select(
+        "doc_id", "doclen", F.col("e.terms").alias("term"), F.col("e.tfs").alias("tf")
     )
-    lexicon.repartitionByRange(max(4, P // 4), "term_id").sortWithinPartitions(
-        "term_id"
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "lexicon"))
-    timings["lexicon"] = time.time() - tp
-
-    tp = time.time()
+    doc_sort = F.col("doc_id").bitwiseXOR(F.lit(LONG_MIN))  # unsigned order
+    # numeric-only columns cross the Arrow boundary: zero-copy into numpy,
+    # no Python string materialization in the packer workers
     postings = (
-        keyed.select("term_id", "slice", "doc_id", "tf", "doclen", "doc_sort")
-        .repartitionByRange(P, "term_id", "slice")
-        .sortWithinPartitions("term_id", "slice", "doc_sort")
-        .mapInPandas(_pack_groups(avgdl), schema=POSTINGS_SCHEMA)
+        pairs.select(
+            F.xxhash64("term").alias("term_id"),
+            F.shiftrightunsigned(F.col("doc_id"), 64 - SLICE_BITS)
+            .cast("int")
+            .alias("slice"),
+            "doc_id",
+            "tf",
+            "doclen",
+        )
+        .repartition(P, "term_id", "slice")
+        .sortWithinPartitions("term_id", "slice", doc_sort)
+        .mapInArrow(_pack_groups(avgdl), schema=POSTINGS_SCHEMA)
     )
-    postings.write.mode("overwrite").parquet(os.path.join(index_dir, "postings"))
+    # docs table write and postings build are independent DAGs — submit them
+    # concurrently so the small docs job fills scheduler slots the big
+    # shuffle leaves idle (matters most at low parallelism; on a cluster this
+    # is plain multi-job scheduling)
+    _BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old_batch = spark.conf.get(_BATCH_KEY, None)
+    spark.conf.set(_BATCH_KEY, str(PACK_ARROW_BATCH))
+    try:
+        with ThreadPoolExecutor(2) as ex:
+            f_docs = ex.submit(_write_docs)
+            f_post = ex.submit(
+                lambda: postings.write.mode("overwrite").parquet(
+                    os.path.join(index_dir, "postings")
+                )
+            )
+            f_post.result()
+            f_docs.result()
+    finally:
+        if old_batch is not None:
+            spark.conf.set(_BATCH_KEY, old_batch)
+        else:
+            spark.conf.unset(_BATCH_KEY)
     timings["postings"] = time.time() - tp
 
-    # ---- metrics: bytes/partition, postings/sec, skew ratio (north_rule) ----
+    # ---- lexicon: per-term stats from packed postings (2-3 orders of
+    # magnitude fewer rows than pairs) joined to the term dictionary — a
+    # JVM-only distinct whose map-side partial agg collapses to |vocab| ----
     tp = time.time()
     pst = spark.read.parquet(os.path.join(index_dir, "postings"))
-    per_pid = pst.groupBy("pid").agg(
-        F.count("*").alias("posting_rows"),
-        F.sum("n").alias("postings"),
-        F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls")).alias("bytes"),
-    )
-    per_pid.write.mode("overwrite").parquet(os.path.join(index_dir, "_metrics"))
-    agg = per_pid.agg(
-        F.sum("posting_rows").alias("rows"),
-        F.sum("postings").alias("postings"),
-        F.max("postings").alias("max_p"),
-        F.avg("postings").alias("avg_p"),
-        F.count("*").alias("parts"),
-    ).collect()[0]
-    # lexicon row count from the parquet just written (metadata-only count —
-    # recomputing the lexicon aggregation here would rescan all pairs)
+
+    def _write_lexicon() -> None:
+        tpl = time.time()
+        term_dict = (
+            staged.select(F.explode("terms").alias("term"))
+            .distinct()
+            .select(F.xxhash64("term").alias("term_id"), "term")
+        )
+        lex_stats = pst.groupBy("term_id").agg(
+            F.sum("n").alias("df"),
+            F.sum("tf_sum").alias("cf"),
+            F.max("block_max_tfn").alias("max_tfn"),
+        )
+        lexicon = lex_stats.join(term_dict, "term_id").select(
+            "term_id", "term", "df", "cf", "max_tfn"
+        )
+        lexicon.repartition(max(4, P // 4), "term_id").sortWithinPartitions(
+            "term_id"
+        ).write.mode("overwrite").parquet(os.path.join(index_dir, "lexicon"))
+        timings["lexicon"] = time.time() - tpl
+
+    # metrics read only (pid, n, bytes) — parquet column pruning skips the
+    # binaries; runs concurrently with the lexicon job (independent DAGs)
+    agg_box: list = []
+
+    def _write_metrics() -> None:
+        tpm = time.time()
+        per_pid = pst.groupBy("pid").agg(
+            F.count("*").alias("posting_rows"),
+            F.sum("n").alias("postings"),
+            F.sum("bytes").alias("bytes"),
+        )
+        per_pid.write.mode("overwrite").parquet(os.path.join(index_dir, "_metrics"))
+        agg_box.append(
+            per_pid.agg(
+                F.sum("posting_rows").alias("rows"),
+                F.sum("postings").alias("postings"),
+                F.max("postings").alias("max_p"),
+                F.avg("postings").alias("avg_p"),
+                F.count("*").alias("parts"),
+            ).collect()[0]
+        )
+        timings["metrics"] = time.time() - tpm
+
+    with ThreadPoolExecutor(2) as ex:
+        f_lex = ex.submit(_write_lexicon)
+        f_met = ex.submit(_write_metrics)
+        f_lex.result()
+        f_met.result()
+    agg = agg_box[0]
+    # lexicon row count from the parquet just written (metadata-only count)
     n_terms = spark.read.parquet(os.path.join(index_dir, "lexicon")).count()
-    timings["metrics"] = time.time() - tp
+    timings["finalize"] = time.time() - tp
     wall = time.time() - t0
 
     stats = {
