@@ -445,9 +445,18 @@ def merge_index(
     n_docs, avgdl = int(stats_row.n_docs), float(stats_row.avgdl or 0.0)
     timings["stats"] = time.time() - tp
 
+    # Right-size explicit shuffles from the just-measured stats — an
+    # explicit repartition() is exempt from AQE coalescing, so a tiny corpus
+    # on a big session would otherwise pay P tasks of pure scheduler
+    # overhead per stage. Targets: ~1.5M pair rows / pack partition,
+    # ~2M rows / docs partition; both still reach P on big inputs.
+    est_pairs = max(1.0, n_docs * avgdl * 0.7)  # ≈ Σ distinct terms per doc
+    P_pack = max(4, min(P, int(est_pairs // 1_500_000) + 1))
+    P_docs = max(1, min(P, n_docs // 2_000_000 + 1))
+
     def _write_docs() -> None:
         tpd = time.time()
-        staged_docs.repartition(P, "doc_id").write.mode("overwrite").parquet(
+        staged_docs.repartition(P_docs, "doc_id").write.mode("overwrite").parquet(
             os.path.join(index_dir, "docs")
         )
         timings["docs_write"] = time.time() - tpd
@@ -479,7 +488,7 @@ def merge_index(
             "tf",
             "doclen",
         )
-        .repartition(P, "term_id", "slice")
+        .repartition(P_pack, "term_id", "slice")
         .sortWithinPartitions("term_id", "slice", doc_sort)
         .mapInArrow(_pack_groups(avgdl), schema=POSTINGS_SCHEMA)
     )
@@ -528,7 +537,7 @@ def merge_index(
         lexicon = lex_stats.join(term_dict, "term_id").select(
             "term_id", "term", "df", "cf", "max_tfn"
         )
-        lexicon.repartition(max(4, P // 4), "term_id").sortWithinPartitions(
+        lexicon.repartition(max(1, P_pack // 4), "term_id").sortWithinPartitions(
             "term_id"
         ).write.mode("overwrite").parquet(os.path.join(index_dir, "lexicon"))
         timings["lexicon"] = time.time() - tpl
