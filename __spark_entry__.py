@@ -426,6 +426,15 @@ def _mm_media_pipeline(spark, sf_dir):
 _EVAL_KEYWORDS = ["the", "county", "report", "data"]
 
 
+def _sim_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine pair join (near-dup baseline): all pairs with
+    cosine ≥ 0.45, exact, broadcast self-join, JVM-side dot products."""
+    from statschat_ke_spark.operators.similarity import cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, 0.45)
+
+
 def _eval_keyword_recall(spark, sf_dir):
     """A5 keyword-recall metric (evaluation.py:176-194) as a distributed
     aggregation: per-language mean recall of a fixed keyword set."""
@@ -494,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_pipeline": _mm_media_pipeline,
         "eval_keyword_recall": _eval_keyword_recall,
         "eval_reciprocal_rank": _eval_reciprocal_rank,
+        "sim_cosine_pairs": _sim_cosine_pairs,
     }
 
 
@@ -705,6 +715,17 @@ def oracle_sql() -> dict[str, str]:
         "search_postproc": _SEARCH_POSTPROC_SQL,
         "eval_keyword_recall": _EVAL_KW_SQL,
         "eval_reciprocal_rank": _EVAL_RR_SQL,
+        "sim_cosine_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+        """,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ft_quality_profile": _QUALITY_SQL,
         "sim_lsh_topk": _sim_lsh_sql(),

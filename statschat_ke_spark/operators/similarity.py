@@ -100,3 +100,86 @@ def lsh_topk(
             buckets.add(qsig ^ (1 << i))
     cand = indexed.filter(F.col("bucket").isin([int(b) for b in buckets]))
     return cosine_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    min_cosine: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (embedding near-dup baseline).
+
+    Self-join with the smaller side broadcast; O(n²) scoring stays JVM-side
+    (zip_with/aggregate). This is the correctness baseline —
+    ``embedding_near_dup_pairs`` is the LSH-blocked scale path.
+    """
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        (_norm(F.col(vec_col))).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        (_norm(F.col(vec_col))).alias("nb"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    min_cosine: float = 0.9,
+    *,
+    nbits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-blocked (the 100 TB path):
+    bucket by random-hyperplane signature, generate candidates only within a
+    bucket (plus 1-bit-flip neighbor buckets via signature expansion), then
+    exact-cosine verify. Near-identical vectors agree on all/most sign bits,
+    so recall at high thresholds is preserved while the join touches
+    ~n²/2^nbits pairs instead of n².
+
+    Verified in pytest against ``cosine_pairs`` on planted duplicates."""
+    indexed, planes = lsh_index(emb, nbits=nbits, seed=seed, id_col=id_col, vec_col=vec_col)
+    # probe expansion: each vector claims its bucket and all 1-bit flips, so
+    # any pair within Hamming distance 1 of each other shares a claimed key
+    keys = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(nbits)]
+    )
+    exploded = indexed.select(
+        F.col(id_col), F.col(vec_col), F.explode(keys).alias("bkey")
+    )
+    a = exploded.select(
+        F.col("bkey"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = exploded.select(
+        F.col("bkey"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    cand = (
+        a.join(b, ["bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(
+            _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+        ).alias("cosine"),
+    ).filter(F.col("cosine") >= min_cosine)

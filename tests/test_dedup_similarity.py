@@ -138,3 +138,62 @@ def test_text_profile(spark):
     assert out[1].quality_score > out[4].quality_score
     assert out[1].n_tokens == 14
     assert out[1].quality["stopword_ratio"] > 0.2
+
+
+def test_embedding_near_dup_lsh_matches_bruteforce(spark):
+    """embedding-cosine near-dup: LSH-blocked pairs == exact cosine_pairs on
+    planted near-duplicate vectors (high-threshold recall guarantee)."""
+    import numpy as np
+    from pyspark.sql import Row
+    from statschat_ke_spark.operators.similarity import (
+        cosine_pairs,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    # plant 10 near-duplicates: tiny perturbations of the first 10 vectors
+    for i in range(10):
+        v = base[i] + rng.standard_normal(16) * 0.01
+        rows.append(Row(vec_id=100 + i, embedding=[float(x) for x in v]))
+    emb = spark.createDataFrame(rows)
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs(emb, 0.98).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, 0.98, nbits=8).collect()
+    }
+    assert exact == {(i, 100 + i) for i in range(10)}
+    assert lsh == exact
+
+
+def test_winnowing_fingerprint(spark):
+    """Rolling-hash winnowing fingerprint: deterministic, order-insensitive
+    to trailing edits far from shared windows, catches shared passages."""
+    from pyspark.sql import Row
+    from statschat_ke_spark.functions.textstats import winnowing_fingerprint
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=shared + " tail one unique tokens here"),
+         Row(doc_id=2, text=shared + " completely different ending words now"),
+         Row(doc_id=3, text="nothing in common with the others at all today"),
+         Row(doc_id=4, text="")]
+    )
+    fp = winnowing_fingerprint(window=4)
+    got = {r.doc_id: set(r.fp) for r in df.select("doc_id", fp("text").alias("fp")).collect()}
+    # deterministic across invocations
+    got2 = {r.doc_id: set(r.fp) for r in df.select("doc_id", fp("text").alias("fp")).collect()}
+    assert got == got2
+    assert got[4] == set()
+    # docs sharing a long passage share most fingerprint hashes
+    inter_12 = len(got[1] & got[2]) / max(1, len(got[1] | got[2]))
+    inter_13 = len(got[1] & got[3]) / max(1, len(got[1] | got[3]))
+    assert inter_12 > 0.4
+    assert inter_13 < inter_12
