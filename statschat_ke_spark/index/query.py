@@ -134,6 +134,102 @@ def topk(
     return ranked
 
 
+def topk_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[int, str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k for MANY queries in ONE job: (query_id, rank, doc_id, score).
+
+    The distributed analog of the reference's sequential eval loop
+    (evaluation.py:13-39 runs make_query per question): postings are scanned
+    once with the UNION of all query term_ids pushed down; each (slice)
+    group runs WAND once per query that has a term there; a ranked window
+    per query yields the global top-k. Latency amortizes to ~one query's
+    cost for a whole golden set; at 10^5 golden questions this is the only
+    workable shape.
+    """
+    # ONE lexicon probe for the union of every query's terms
+    terms_by_q = {
+        qid: list(dict.fromkeys(tokenize(qtext))) for qid, qtext in queries.items()
+    }
+    ids_by_q = {
+        qid: [xxhash64_str(t) for t in ts] for qid, ts in terms_by_q.items()
+    }
+    union_ids = sorted({t for ids in ids_by_q.values() for t in ids})
+    stats = load_stats(index_dir)
+    avgdl = float(stats["avgdl"])
+    n = stats["n_docs"]
+    lex = {}
+    if union_ids:
+        for r in (
+            spark.read.parquet(os.path.join(index_dir, "lexicon"))
+            .filter(F.col("term_id").isin(union_ids))
+            .select("term_id", "df", "max_tfn")
+            .collect()
+        ):
+            idf = math.log((n - r.df + 0.5) / (r.df + 0.5) + 1.0)
+            lex[r.term_id] = {"idf": idf, "max_tfn": float(r.max_tfn)}
+    per_q: dict[int, dict[int, dict]] = {
+        qid: {t: lex[t] for t in ids if t in lex} for qid, ids in ids_by_q.items()
+    }
+    all_ids = sorted({t for ti in per_q.values() for t in ti})
+    if not all_ids:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    idf_by_q = {q: {t: v["idf"] for t, v in ti.items()} for q, ti in per_q.items()}
+    ub_by_q = {
+        q: {t: v["idf"] * v["max_tfn"] for t, v in ti.items()} for q, ti in per_q.items()
+    }
+    pst = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("term_id").isin(all_ids))
+        .select("term_id", "slice", "block_id", "n", "doc_ids", "tfs", "dls",
+                "block_max_tfn")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+
+    def run_slice(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        present = set(pdf["term_id"].unique().tolist())
+        for qid, idf_map in idf_by_q.items():
+            q_terms = [t for t in idf_map if t in present]
+            if not q_terms:
+                continue
+            sub = pdf[pdf["term_id"].isin(q_terms)]
+            res = _wand_slice(idf_map, ub_by_q[qid], avgdl, k)(sub)
+            if len(res):
+                res.insert(0, "query_id", np.int64(qid))
+                outs.append(res)
+        if not outs:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+                {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    from pyspark.sql import Window as W
+
+    scored = pst.groupBy("slice").applyInPandas(run_slice, schema)
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("doc_id").bitwiseXOR(F.lit(LONG_MIN)).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
 def _exhaustive_scorer(idf_map: dict[int, float], avgdl: float):
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -45,3 +45,20 @@ def test_with_url(spark, index_dir, oracle):
     assert set(got.columns) == {"doc_id", "score", "url"}
     assert len(got) == 5
     assert got.url.notna().all()
+
+
+def test_topk_batch_matches_per_query(spark, index_dir, queries):
+    """topk_batch (one job, union pushdown, per-slice multi-query WAND) is
+    row-identical to per-query topk for the whole golden set."""
+    from statschat_ke_spark.index.query import topk_batch
+
+    qmap = {int(q.query_id): q.query_text for q in queries.itertuples(index=False)}
+    k = 10
+    batch = topk_batch(spark, index_dir, qmap, k=k).toPandas()
+    for qid, qtext in qmap.items():
+        single = topk(spark, index_dir, qtext, k).toPandas()
+        got = batch[batch.query_id == qid].sort_values("rank")
+        assert list(got.doc_id) == list(single.doc_id), qid
+        assert np.allclose(got.score.to_numpy(), single.score.to_numpy(), atol=1e-9)
+        if len(got):
+            assert list(got["rank"]) == list(range(1, len(got) + 1))
