@@ -823,7 +823,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents d LEFT JOIN dl
                   ON d.doc_id = dl.doc_id AND d.lang = dl.lang
             )
-            SELECT lang, COUNT(*) AS n_docs, SUM(doclen) AS total_tokens,
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(doclen) AS BIGINT) AS total_tokens,
                    ROUND(AVG(doclen), 6) AS avgdl
             FROM all_docs GROUP BY lang
         """,

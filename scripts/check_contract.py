@@ -82,6 +82,14 @@ def main() -> int:
         eq = True
         for c in g.columns:
             a, b = g[c], w[c]
+            # Driver hashes stringified values per-dtype: int64 11757 vs
+            # float64 11757.0 is a hash MISMATCH even though allclose passes
+            # (DuckDB SUM(BIGINT)→HUGEINT→float64 trap). Be dtype-strict.
+            if (a.dtype.kind in "iu") != (b.dtype.kind in "iu"):
+                eq = False
+                print(f"     {name}.{c} dtype kind mismatch: "
+                      f"{a.dtype} vs {b.dtype} (driver hash would differ)")
+                continue
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 import numpy as np
                 if not np.allclose(
