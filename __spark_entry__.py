@@ -295,8 +295,11 @@ def _dedup_ngram_jaccard(spark, sf_dir):
 
 def _dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (banded signatures → bucket join → exact
-    verify). No SQL oracle (xxhash64+permutations); verified in pytest
-    against exact n-gram Jaccard."""
+    Jaccard verify). Oracle: the exact n-gram-Jaccard SQL — the recall
+    contract. With 64 hashes / 16 bands at threshold 0.7 the banding finds
+    every exact pair on this corpus (deterministic, fixed seed), and the
+    verify step computes the same exact Jaccard, so the emitted relation
+    EQUALS the exact all-pairs answer; the oracle checks precisely that."""
     from statschat_ke_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
 
     docs = _t(spark, sf_dir, "documents")
@@ -305,11 +308,15 @@ def _dedup_minhash_lsh(spark, sf_dir):
 
 
 def _dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (4×16-bit chunk banding). Rows-only check."""
+    """SimHash near-dup pairs (4×16-bit chunk banding; pigeonhole makes the
+    banding EXACT for hamming ≤ 3, so the scalable chunk join equals the
+    all-pairs answer). Token hash = lower-64 md5 (DuckDB
+    ``md5_number_lower`` parity) so the full signature + hamming math is
+    SQL-checkable; the default xxh64 variant is pytest-verified."""
     from statschat_ke_spark.operators.dedup import simhash, simhash_near_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(simhash(docs), max_hamming=3)
+    return simhash_near_pairs(simhash(docs, hash_fn="md5"), max_hamming=3)
 
 
 def _ft_quality_profile(spark, sf_dir):
@@ -357,14 +364,16 @@ def _sim_lsh_topk(spark, sf_dir):
 
 
 def _fuzzy_supersede_parts(spark, sf_dir):
-    """J3 fuzzy version-matching (prefix-blocked theta join) demoed on part
-    names. Rows-only (LCS-indel ratio has no DuckDB equivalent)."""
+    """J3 fuzzy version-matching (stem-blocked theta join) demoed on part
+    names, with the levenshtein-ratio metric (pure JVM ``F.levenshtein``,
+    ANSI-SQL-expressible — the oracle replicates block + ratio exactly).
+    The reference-parity indel-ratio metric stays pytest-covered."""
     from statschat_ke_spark.operators.latest import match_superseded
 
     part = _t(spark, sf_dir, "part")
     new = part.filter(F.col("p_partkey") % 10 == 0).select(F.col("p_name").alias("title"))
     old = part.filter(F.col("p_partkey") % 10 != 0).select(F.col("p_name").alias("title"))
-    return match_superseded(new, old)
+    return match_superseded(new, old, metric="levenshtein")
 
 
 _PP_NOW = "2024-06-30"
@@ -564,7 +573,66 @@ co AS (
     GROUP BY 1, 2, 3, 4
 )
 SELECT id_a, id_b, round(inter*1.0/(na+nb-inter), 6) AS jaccard
-FROM co WHERE inter*1.0/(na+nb-inter) >= 0.7
+FROM co WHERE round(inter*1.0/(na+nb-inter), 6) >= 0.7
+"""
+
+# simhash over lower-64 md5 token hashes, tf-weighted, all-pairs hamming —
+# the Spark side's chunk-banded join is pigeonhole-exact for hamming ≤ 3,
+# so the scalable plan must EQUAL this brute-force relation.
+_SIMHASH_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS t
+    FROM documents
+),
+th AS (SELECT doc_id, md5_number_lower(t) AS h FROM toks),
+bits AS (
+    SELECT doc_id, j,
+           SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+    FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j) js
+    GROUP BY doc_id, j
+),
+sig AS (
+    SELECT doc_id,
+           SUM(CASE WHEN acc > 0
+                    THEN CASE WHEN j = 63 THEN -9223372036854775807 - 1
+                              ELSE (1::BIGINT << j::INT) END
+                    ELSE 0 END)::BIGINT AS sh
+    FROM bits GROUP BY doc_id
+),
+allsig AS (
+    SELECT d.doc_id, COALESCE(s.sh, 0) AS sh
+    FROM documents d LEFT JOIN sig s USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM allsig a JOIN allsig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+_FUZZY_SUPERSEDE_SQL = """
+WITH new_t AS (SELECT DISTINCT p_name AS new_name FROM part WHERE p_partkey % 10 = 0),
+old_t AS (SELECT DISTINCT p_name AS old_name FROM part WHERE p_partkey % 10 <> 0),
+nb AS (
+    SELECT new_name,
+           array_to_string((list_filter(regexp_split_to_array(lower(new_name),
+                            '[^a-z0-9]+'), x -> x <> ''))[1:3], ' ') AS blk
+    FROM new_t
+),
+ob AS (
+    SELECT old_name,
+           array_to_string((list_filter(regexp_split_to_array(lower(old_name),
+                            '[^a-z0-9]+'), x -> x <> ''))[1:3], ' ') AS blk
+    FROM old_t
+)
+SELECT new_name, old_name,
+       round(100.0 * (1.0 - levenshtein(new_name, old_name) * 1.0
+                            / greatest(length(new_name), length(old_name))), 6)
+         AS similarity
+FROM ob JOIN nb USING (blk)
+WHERE round(100.0 * (1.0 - levenshtein(new_name, old_name) * 1.0
+                           / greatest(length(new_name), length(old_name))), 6) > 75
 """
 
 _QUALITY_SQL_STOPWORDS = (
@@ -727,6 +795,11 @@ def oracle_sql() -> dict[str, str]:
                      * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
         """,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # recall contract: LSH candidate gen + exact verify must reproduce
+        # the exact all-pairs Jaccard relation (see _dedup_minhash_lsh doc)
+        "dedup_minhash_lsh": _NGRAM_JACCARD_SQL,
+        "dedup_simhash": _SIMHASH_SQL,
+        "fuzzy_supersede_parts": _FUZZY_SUPERSEDE_SQL,
         "ft_quality_profile": _QUALITY_SQL,
         "sim_lsh_topk": _sim_lsh_sql(),
         "q1_pricing_summary": """

@@ -25,7 +25,6 @@ Thresholding (reference P5, cloud_llm.py:153) and the post-retrieval ports
 
 from __future__ import annotations
 
-import heapq
 import json
 import math
 import os
@@ -102,7 +101,7 @@ def topk(
             spark.read.parquet(os.path.join(index_dir, "postings"))
             .filter(F.col("term_id").isin(ids))
             .select("term_id", "slice", "block_id", "n", "doc_ids", "tfs", "dls",
-                    "block_max_tfn")
+                    "block_max_tfn", "first_doc", "last_doc")
         )
         idf_map = {t: v["idf"] for t, v in terminfo.items()}
         ub_map = {t: v["idf"] * v["max_tfn"] for t, v in terminfo.items()}
@@ -187,7 +186,7 @@ def topk_batch(
         spark.read.parquet(os.path.join(index_dir, "postings"))
         .filter(F.col("term_id").isin(all_ids))
         .select("term_id", "slice", "block_id", "n", "doc_ids", "tfs", "dls",
-                "block_max_tfn")
+                "block_max_tfn", "first_doc", "last_doc")
     )
 
     schema = T.StructType(
@@ -255,141 +254,132 @@ def _exhaustive_scorer(idf_map: dict[int, float], avgdl: float):
     return score
 
 
+class _TermBlocks:
+    """One query term's blocks within a slice: block-range metadata as numpy
+    arrays (first/last doc in unsigned order, block-max score) plus lazy
+    memoized decode+score of whole blocks — never per-doc Python."""
+
+    __slots__ = ("idf", "firsts_u", "lasts_u", "bms", "_raw", "_avgdl", "_cache")
+
+    def __init__(self, idf: float, g: pd.DataFrame, avgdl: float):
+        self.idf = idf
+        self.firsts_u = g["first_doc"].to_numpy(dtype=np.int64).view(np.uint64)
+        self.lasts_u = g["last_doc"].to_numpy(dtype=np.int64).view(np.uint64)
+        self.bms = idf * g["block_max_tfn"].to_numpy(dtype=np.float64)
+        self._raw = list(zip(g["doc_ids"].tolist(), g["tfs"].tolist(), g["dls"].tolist()))
+        self._avgdl = avgdl
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def partials(self, j: int) -> tuple[np.ndarray, np.ndarray]:
+        """(docs_u, bm25_partial) for block j — vectorized, decoded once."""
+        hit = self._cache.get(j)
+        if hit is not None:
+            return hit
+        raw_ids, raw_tfs, raw_dls = self._raw[j]
+        docs_u = decode_doc_ids(raw_ids)
+        tfs = decode_tfs(raw_tfs).astype(np.float64)
+        dls = vbyte_decode(raw_dls).astype(np.float64)
+        scores = self.idf * tfs * (K1 + 1.0) / (
+            tfs + K1 * (1.0 - B + B * dls / self._avgdl)
+        )
+        self._cache[j] = (docs_u, scores)
+        return docs_u, scores
+
+    def covering_block(self, lo_u: np.uint64) -> int:
+        """Index of the block whose range contains lo_u, or -1."""
+        j = int(np.searchsorted(self.firsts_u, lo_u, side="right")) - 1
+        if j >= 0 and self.lasts_u[j] >= lo_u:
+            return j
+        return -1
+
+
 def _wand_slice(idf_map: dict[int, float], ub_map: dict[int, float], avgdl: float, k: int):
-    """Per-slice block-max WAND: exact local top-k with block skipping."""
+    """Per-slice block-max WAND, vectorized block-at-a-time.
+
+    Two-level evaluation (the SURVEY §2.9 design): level 1 works ONLY on
+    block metadata — the union of all terms' block boundaries partitions the
+    slice's doc range into intervals, and one vectorized sweep (add.at +
+    cumsum) yields each interval's upper bound Σ_t blockmax_t. Level 2
+    decodes and scores whole surviving blocks vectorized (BM25 over the full
+    block in one numpy expression, memoized), gathers the interval's rows
+    from each covering block by searchsorted, and aggregates per-doc scores
+    with sort+reduceat. Intervals whose upper bound is strictly below the
+    running top-k threshold are skipped without decoding — block-max WAND's
+    pruning with no per-document Python anywhere.
+
+    Exactness: θ only grows, so a skipped doc has true score ≤ UB < θ ≤ final
+    θ and can never displace the kth result even via the doc_id tie-break
+    (strict inequality); intervals with UB == θ are processed.
+    """
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        cursors = []
+        terms: list[_TermBlocks] = []
         for term_id, g in pdf.groupby("term_id", sort=False):
             g = g.sort_values("block_id")
-            cur = _TermCursor(
-                idf=idf_map[int(term_id)],
-                ub=ub_map[int(term_id)],
-                blocks=list(
-                    zip(
-                        g["doc_ids"].tolist(),
-                        g["tfs"].tolist(),
-                        g["dls"].tolist(),
-                        g["block_max_tfn"].tolist(),
-                    )
-                ),
-                avgdl=avgdl,
+            terms.append(_TermBlocks(idf_map[int(term_id)], g, avgdl))
+        if not terms:
+            return pd.DataFrame(
+                {"doc_id": np.empty(0, dtype=np.int64),
+                 "score": np.empty(0, dtype=np.float64)}
             )
-            if cur.doc is not None:
-                cursors.append(cur)
 
-        heap: list[tuple[float, int]] = []  # (score, -doc_u) min-heap
+        # ---- level 1: interval upper bounds from block metadata only ----
+        all_firsts = np.concatenate([t.firsts_u for t in terms])
+        all_lasts = np.concatenate([t.lasts_u for t in terms])
+        all_bms = np.concatenate([t.bms for t in terms])
+        open_end = all_lasts == np.uint64(0xFFFFFFFFFFFFFFFF)  # +1 would wrap
+        bounds = np.unique(np.concatenate([all_firsts, all_lasts[~open_end] + np.uint64(1)]))
+        ub = np.zeros(len(bounds), dtype=np.float64)
+        np.add.at(ub, np.searchsorted(bounds, all_firsts), all_bms)
+        closes = np.searchsorted(bounds, all_lasts[~open_end] + np.uint64(1))
+        np.subtract.at(ub, closes[closes < len(bounds)], all_bms[~open_end][closes < len(bounds)])
+        ub = np.cumsum(ub)
 
-        def threshold() -> float:
-            return heap[0][0] if len(heap) >= k else -math.inf
+        # ---- level 2: decode + score surviving intervals, vectorized ----
+        top_docs = np.empty(0, dtype=np.uint64)
+        top_scores = np.empty(0, dtype=np.float64)
+        theta = -math.inf
 
-        while cursors:
-            cursors.sort(key=lambda c: c.doc)
-            # pivot: smallest doc where Σ term UBs could beat threshold
-            acc = 0.0
-            pivot_i = -1
-            th = threshold()
-            for i, c in enumerate(cursors):
-                acc += c.ub
-                # >= not >: a candidate scoring exactly the threshold can
-                # still enter the heap by winning the doc_id tie-break
-                if acc >= th:
-                    pivot_i = i
-                    break
-            if pivot_i < 0:
-                break  # even all UBs together can't beat the threshold
-            pivot_doc = cursors[pivot_i].doc
-            if cursors[0].doc == pivot_doc:
-                # block-max refinement: sum block maxima at the pivot
-                bm = 0.0
-                for c in cursors:
-                    if c.doc != pivot_doc:
-                        break
-                    bm += c.block_max_score()
-                if bm >= th:
-                    s = 0.0
-                    doc = pivot_doc
-                    for c in [c for c in cursors if c.doc == doc]:
-                        s += c.score_current()
-                        c.advance()
-                    if len(heap) < k:
-                        heapq.heappush(heap, (s, -doc))
-                    elif (s, -doc) > heap[0]:
-                        heapq.heapreplace(heap, (s, -doc))
-                else:
-                    for c in cursors:
-                        if c.doc != pivot_doc:
-                            break
-                        c.advance()
-                cursors = [c for c in cursors if c.doc is not None]
-            else:
-                # advance the laggard cursor(s) up to the pivot
-                for c in cursors[:pivot_i]:
-                    c.seek(pivot_doc)
-                cursors = [c for c in cursors if c.doc is not None]
+        for i in range(len(bounds)):
+            if ub[i] < theta:
+                continue
+            lo = bounds[i]
+            hi = bounds[i + 1] if i + 1 < len(bounds) else None  # None = +inf
+            cand_docs, cand_scores = [], []
+            for t in terms:
+                j = t.covering_block(lo)
+                if j < 0:
+                    continue
+                docs_u, scores = t.partials(j)
+                a = int(np.searchsorted(docs_u, lo))
+                b = int(np.searchsorted(docs_u, hi)) if hi is not None else len(docs_u)
+                if a < b:
+                    cand_docs.append(docs_u[a:b])
+                    cand_scores.append(scores[a:b])
+            if not cand_docs:
+                continue
+            d = np.concatenate(cand_docs)
+            s = np.concatenate(cand_scores)
+            if len(cand_docs) > 1:
+                order = np.argsort(d, kind="stable")
+                d, s = d[order], s[order]
+                starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+                d = d[starts]
+                s = np.add.reduceat(s, starts)
+            # merge into running top-k: (-score, doc_u) lexicographic
+            md = np.concatenate([top_docs, d])
+            ms = np.concatenate([top_scores, s])
+            sel = np.lexsort((md, -ms))[:k]
+            top_docs, top_scores = md[sel], ms[sel]
+            if len(top_docs) >= k:
+                theta = top_scores[-1]
 
-        rows = sorted(heap, key=lambda t: (-t[0], -t[1]))
+        order = np.lexsort((top_docs, -top_scores))
         return pd.DataFrame(
             {
-                "doc_id": np.array([np.uint64(-d) for _, d in rows], dtype=np.uint64).view(np.int64)
-                if rows
-                else np.empty(0, dtype=np.int64),
-                "score": np.array([s for s, _ in rows], dtype=np.float64),
+                "doc_id": top_docs[order].view(np.int64),
+                "score": top_scores[order],
             }
         )
 
     return run
-
-
-class _TermCursor:
-    """Cursor over one term's blocks within a slice (doc-u-sorted)."""
-
-    __slots__ = ("idf", "ub", "blocks", "avgdl", "bi", "pos", "docs_u", "tfs", "dls")
-
-    def __init__(self, idf: float, ub: float, blocks: list, avgdl: float):
-        self.idf = idf
-        self.ub = ub
-        self.blocks = blocks
-        self.avgdl = avgdl
-        self.bi = -1
-        self.docs_u: np.ndarray | None = None
-        self._next_block()
-
-    def _next_block(self) -> None:
-        self.bi += 1
-        if self.bi >= len(self.blocks):
-            self.docs_u = None
-            return
-        raw_ids, raw_tfs, raw_dls, _bm = self.blocks[self.bi]
-        self.docs_u = decode_doc_ids(raw_ids)
-        self.tfs = decode_tfs(raw_tfs).astype(np.float64)
-        self.dls = vbyte_decode(raw_dls).astype(np.float64)
-        self.pos = 0
-
-    @property
-    def doc(self) -> int | None:
-        """Current doc id in UNSIGNED space (int), or None if exhausted."""
-        if self.docs_u is None:
-            return None
-        return int(self.docs_u[self.pos])
-
-    def block_max_score(self) -> float:
-        return self.idf * float(self.blocks[self.bi][3])
-
-    def score_current(self) -> float:
-        tf = self.tfs[self.pos]
-        dl = self.dls[self.pos]
-        return self.idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
-
-    def advance(self) -> None:
-        self.pos += 1
-        if self.pos >= len(self.docs_u):
-            self._next_block()
-
-    def seek(self, target_u: int) -> None:
-        """Advance to the first doc ≥ target (block-skipping)."""
-        while self.docs_u is not None:
-            if int(self.docs_u[-1]) >= target_u:
-                self.pos = max(self.pos, int(np.searchsorted(self.docs_u, np.uint64(target_u))))
-                return
-            self._next_block()

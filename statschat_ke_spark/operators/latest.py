@@ -28,16 +28,23 @@ def flag_latest(docs: DataFrame, series_col: str = "title", date_col: str = "rel
 
 
 def match_superseded(new_docs: DataFrame, old_docs: DataFrame,
-                     name_col: str = "title") -> DataFrame:
+                     name_col: str = "title",
+                     metric: str = "indel") -> DataFrame:
     """J3 — which old docs does each new doc supersede?
 
     Equi-block on the series stem — the first 3 title tokens (versions of a
     series share the stem and differ in trailing month/quarter/year) — then
-    the fuzzy indel-ratio theta predicate within the block: the scale-safe
-    version of the reference's full cross product (latest_updates.py:24-52;
-    the reference's own blocking idea is the 60-char prefix at :85, which
-    fails on titles shorter than 60 chars). Returns
-    (new_name, old_name, similarity).
+    a fuzzy theta predicate within the block: the scale-safe version of the
+    reference's full cross product (latest_updates.py:24-52; the reference's
+    own blocking idea is the 60-char prefix at :85, which fails on titles
+    shorter than 60 chars). Returns (new_name, old_name, similarity).
+
+    ``metric``:
+    - ``indel`` (default) — rapidfuzz-style ratio, reference parity
+      (latest_updates.py:46), Arrow-vectorized UDF.
+    - ``levenshtein`` — 100·(1 − lev/max(len)), pure JVM expression
+      (``F.levenshtein`` inside whole-stage codegen; also expressible in
+      ANSI SQL, which the contract oracle exploits).
     """
 
     def key(c: str) -> F.Column:
@@ -49,11 +56,25 @@ def match_superseded(new_docs: DataFrame, old_docs: DataFrame,
     o = old_docs.select(F.col(name_col).alias("old_name")).distinct().withColumn(
         "_blk", key("old_name")
     )
+    if metric == "indel":
+        sim = fuzz_ratio_udf(F.col("new_name"), F.col("old_name"))
+    elif metric == "levenshtein":
+        sim = F.round(
+            100.0
+            * (
+                1.0
+                - F.levenshtein("new_name", "old_name")
+                / F.greatest(F.length("new_name"), F.length("old_name"))
+            ),
+            6,
+        )
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     return (
         o.join(F.broadcast(n), "_blk")
-        .withColumn("similarity", fuzz_ratio_udf(F.col("new_name"), F.col("old_name")))
+        .withColumn("similarity", sim)
         .filter(F.col("similarity") > FUZZ_THRESHOLD)
-        .drop("_blk")
+        .select("new_name", "old_name", "similarity")
     )
 
 

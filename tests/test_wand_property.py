@@ -52,6 +52,8 @@ def _build_slice_pdf(term_postings: dict[int, list[tuple[int, int, int]]], avgdl
                     "tfs": encode_tfs(tfs),
                     "dls": vbyte_encode(dls),
                     "block_max_tfn": float(tfn.max()),
+                    "first_doc": int(docs[0].view(np.int64)),
+                    "last_doc": int(docs[-1].view(np.int64)),
                 }
             )
         ub_map[term_id] = idf * max_tfn
