@@ -432,6 +432,62 @@ def _mm_media_pipeline(spark, sf_dir):
     )
 
 
+_SCRAPE_MONTHS = [
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+]
+_SCRAPE_THEMES = [
+    "Economic Survey", "Census Housing", "Labour Force", "Price Index",
+    "Trade Statistics",
+]
+
+
+def _sentinel_scrape(spark, sf_dir):
+    """S7/F13 sentinel-substring metadata scrape (reference
+    pdf_to_json.py:272-385) as pure JVM string expressions. A synthetic
+    page-text column is constructed deterministically from `documents` in
+    three layouts (full sentinels / fallback-year layout / no sentinels);
+    the oracle derives the EXPECTED metadata directly from the same columns
+    — an independent derivation, not a SQL re-implementation of the scrape."""
+    from statschat_ke_spark.functions.refops import sentinel_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    months = F.array(*[F.lit(x) for x in _SCRAPE_MONTHS])
+    themes = F.array(*[F.lit(x) for x in _SCRAPE_THEMES])
+    m = F.pmod("doc_id", F.lit(3))
+    yr = (F.lit(1990) + F.pmod("doc_id", F.lit(40))).cast("string")
+    mon = F.element_at(months, (F.pmod("doc_id", F.lit(12)) + 1).cast("int"))
+    theme = F.element_at(themes, (F.pmod("doc_id", F.lit(5)) + 1).cast("int"))
+    ov = F.substring(F.lower("text"), 1, 40)
+    yr2 = (F.lit(1954) + F.pmod("doc_id", F.lit(90))).cast("string")
+    page = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("Hdr About Report Report "), theme, F.lit(" "), mon,
+                F.lit(" "), yr, F.lit(" Overview "), ov,
+                F.lit(" Share This Page ft"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("Hdr Main Report published in "), yr2,
+                F.lit(" blah Visit the KNBS ft"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("plain "), ov))
+    )
+    meta = sentinel_metadata(page)
+    return docs.select(
+        "doc_id",
+        meta["date"].alias("date"),
+        meta["overview"].alias("overview"),
+        meta["publication_type"].alias("publication_type"),
+        meta["publication_theme"].alias("publication_theme"),
+    )
+
+
 _EVAL_KEYWORDS = ["the", "county", "report", "data"]
 
 
@@ -463,7 +519,10 @@ def _eval_keyword_recall(spark, sf_dir):
 
 def _eval_reciprocal_rank(spark, sf_dir):
     """A6 reciprocal-rank metric (evaluation.py:202-232): 1/rank of the
-    expected doc in each source's top-10 (by n_chars desc)."""
+    expected doc in each source's top-10 (by n_chars desc). Uses
+    match="exact" (integer doc ids); the reference's substring-containment
+    variant incl. the empty-expected 1.0/0.0 branch is the default and is
+    pytest-covered."""
     from statschat_ke_spark.operators.evaluation import reciprocal_rank
 
     docs = _t(spark, sf_dir, "documents")
@@ -482,7 +541,9 @@ def _eval_reciprocal_rank(spark, sf_dir):
         .agg(ranked.alias("ranked"), F.min("doc_id").alias("expected"))
         .select(
             "source",
-            F.round(reciprocal_rank(F.col("ranked"), F.col("expected")), 6).alias("rr"),
+            F.round(
+                reciprocal_rank(F.col("ranked"), F.col("expected"), match="exact"), 6
+            ).alias("rr"),
         )
     )
 
@@ -508,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_quality_profile": _ft_quality_profile,
         "sim_lsh_topk": _sim_lsh_topk,
         "fuzzy_supersede_parts": _fuzzy_supersede_parts,
+        "sentinel_scrape": _sentinel_scrape,
         "search_postproc": _search_postproc,
         "mm_media_pipeline": _mm_media_pipeline,
         "eval_keyword_recall": _eval_keyword_recall,
@@ -800,6 +862,27 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "fuzzy_supersede_parts": _FUZZY_SUPERSEDE_SQL,
+        "sentinel_scrape": f"""
+            WITH base AS (
+                SELECT doc_id, doc_id % 3 AS m,
+                       CAST(1990 + (doc_id % 40) AS VARCHAR) AS yr,
+                       {_SCRAPE_MONTHS!r}[(doc_id % 12) + 1] AS mon,
+                       {_SCRAPE_THEMES!r}[(doc_id % 5) + 1] AS theme,
+                       substring(lower(text), 1, 40) AS ov,
+                       CAST(1954 + (doc_id % 90) AS VARCHAR) AS yr2
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN m = 0 THEN mon || ' ' || yr
+                        WHEN m = 1 THEN yr2
+                        ELSE 'Unknown' END AS date,
+                   CASE WHEN m = 0 THEN ov || ' ' ELSE '' END AS overview,
+                   CASE WHEN m = 0 THEN 'Report' ELSE 'Unknown' END
+                     AS publication_type,
+                   CASE WHEN m = 0 THEN theme ELSE 'Unknown' END
+                     AS publication_theme
+            FROM base
+        """,
         "ft_quality_profile": _QUALITY_SQL,
         "sim_lsh_topk": _sim_lsh_sql(),
         "q1_pricing_summary": """

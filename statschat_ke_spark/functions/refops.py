@@ -103,6 +103,157 @@ def normalize_quotes(s: Column) -> Column:
     return F.translate(s, "‘’“”", "''\"\"")
 
 
+def html_escape(s: Column) -> Column:
+    """F15 — markupsafe.escape parity (main_api_cloud.py:97): the five
+    HTML-significant characters → entities, '&' first so entities aren't
+    double-escaped."""
+    out = F.replace(s, F.lit("&"), F.lit("&amp;"))
+    for ch, ent in (("<", "&lt;"), (">", "&gt;"), ('"', "&#34;"), ("'", "&#39;")):
+        out = F.replace(out, F.lit(ch), F.lit(ent))
+    return out
+
+
+# F16 (strict parse) — the reference's Pydantic LlmResponse schema
+# (response_model.py:5-33) as a fixed StructType; from_json returns null
+# fields on malformed input, surfaced via ``llm_response_is_valid``.
+LLM_RESPONSE_SCHEMA = T.StructType(
+    [
+        T.StructField("answer_provided", T.BooleanType(), True),
+        T.StructField("most_likely_answer", T.StringType(), True),
+        T.StructField("highlighting1", T.ArrayType(T.StringType()), True),
+        T.StructField("highlighting2", T.ArrayType(T.StringType()), True),
+        T.StructField("highlighting3", T.ArrayType(T.StringType()), True),
+        T.StructField("reasoning", T.StringType(), True),
+    ]
+)
+
+
+def parse_llm_response(s: Column) -> Column:
+    """F16 — quote-normalize then parse against the strict LlmResponse
+    schema (local_llm.py:105-129 + response_model.py:5-33). Malformed JSON
+    yields a struct of nulls (PERMISSIVE), checked by
+    ``llm_response_is_valid`` — the Spark analog of Pydantic's
+    ValidationError without failing the whole batch."""
+    return F.from_json(normalize_quotes(s), LLM_RESPONSE_SCHEMA)
+
+
+def llm_response_is_valid(parsed: Column) -> Column:
+    """Pydantic-required fields present: answer_provided is mandatory
+    (response_model.py:6-9); the three highlighting lists are non-null."""
+    return (
+        parsed.isNotNull()
+        & parsed["answer_provided"].isNotNull()
+        & parsed["highlighting1"].isNotNull()
+        & parsed["highlighting2"].isNotNull()
+        & parsed["highlighting3"].isNotNull()
+    )
+
+
+def merge_highlight_phrases(answer: Column, hl1: Column, hl2: Column, hl3: Column) -> Column:
+    """SO1 + W5 — union of the answer (when non-empty) and the three
+    highlighting lists, distinct, sorted by length (generative/utils.py:38-52:
+    ``sorted(set([answer] + hl1 + hl2 + hl3), key=len)`` — ascending).
+
+    Determinism divergence (documented per SURVEY §5.2-6): python ``set``
+    gives arbitrary order among equal-length phrases; we tie-break
+    lexicographically.
+    """
+    ans_arr = F.when(
+        answer.isNotNull() & (answer != ""), F.array(answer)
+    ).otherwise(F.array().cast("array<string>"))
+    merged = F.array_distinct(
+        F.concat(
+            ans_arr,
+            F.coalesce(hl1, F.array().cast("array<string>")),
+            F.coalesce(hl2, F.array().cast("array<string>")),
+            F.coalesce(hl3, F.array().cast("array<string>")),
+        )
+    )
+    cmp = lambda l, r: (
+        F.when(F.length(l) < F.length(r), F.lit(-1))
+        .when(F.length(l) > F.length(r), F.lit(1))
+        .when(l < r, F.lit(-1))
+        .when(l > r, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return F.array_sort(merged, cmp)
+
+
+def normalize_path_keys(m: Column) -> Column:
+    """F17 — normalize_dict_keys (pdf_to_json.py:487-498): map keys through
+    the Windows-normpath analog (mixed '/' and '\\\\' separators →
+    backslashes, runs collapsed) via ``transform_keys`` on a MapType."""
+    return F.transform_keys(
+        m, lambda k, _v: F.regexp_replace(k, r"[/\\]+", r"\\")
+    )
+
+
+# ---- S7 / F13: sentinel-substring metadata scrape ------------------------
+# Reference get_abstract_metadata (pdf_to_json.py:272-385): pure string ops
+# between sentinel markers, here as JVM column expressions (locate +
+# substring + split inside whole-stage codegen — no UDF).
+
+
+def _between(text: Column, start: str, end: str) -> Column:
+    """text[find(start)+len(start) : find(end, after start)] with the
+    reference's both-sentinels-present guard, else '' — expressed as
+    locate + suffix-substring + locate (search for ``end`` only AFTER the
+    start sentinel, exactly like ``str.find(end, i1 + len(start))``)."""
+    i1 = F.locate(start, text)  # 1-based, 0 when absent
+    rest = F.substring(text, i1 + len(start), F.lit(2147483647))
+    i2 = F.locate(end, rest)
+    return F.when(
+        (i1 > 0) & (i2 > 0), F.substring(rest, F.lit(1), i2 - 1)
+    ).otherwise(F.lit(""))
+
+
+def sentinel_metadata(text: Column) -> Column:
+    """S7/F13 — struct(date, overview, publication_type, publication_theme)
+    scraped from page text between sentinel substrings, with the reference's
+    exact fallback chain (pdf_to_json.py:295-364):
+
+    1. body = text between 'About Report ' and 'Share This Page';
+       pdf_substring = 'About-Report ' + body + ' Overview-End'
+    2. publication_info = pdf_substring between 'About-Report' and first
+       ' Overview'; overview = between 'Overview ' and ' Overview-End'
+    3. tokens = publication_info.split(): date = last two tokens,
+       theme = tokens[1:-2], type = tokens[0] (each 'Unknown' when short)
+    4. date fallback: scan text between 'Main Report' and 'Visit the KNBS'
+       for years 1954..2049; the reference loop keeps overwriting, so the
+       LARGEST matching year wins (pdf_to_json.py:341-355 has no break)
+    """
+    body = _between(text, "About Report ", "Share This Page")
+    sub = F.when(
+        body != "", F.concat(F.lit("About-Report "), body, F.lit(" Overview-End"))
+    ).otherwise(F.lit(""))
+    pub_info = _between(sub, "About-Report", " Overview")
+    overview = _between(sub, "Overview ", " Overview-End")
+    toks = F.filter(F.split(pub_info, r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    date_primary = F.when(
+        n >= 2, F.concat_ws(" ", F.slice(toks, n - 1, 2))
+    ).otherwise(F.lit("Unknown"))
+    alt = _between(text, "Main Report", "Visit the KNBS")
+    years_found = F.filter(
+        F.sequence(F.lit(1954), F.lit(2049)),
+        lambda y: F.contains(alt, y.cast("string")),
+    )
+    date_fallback = F.when(
+        F.size(years_found) > 0, F.element_at(years_found, -1).cast("string")
+    ).otherwise(F.lit("Unknown"))
+    date = F.when(date_primary != "Unknown", date_primary).otherwise(date_fallback)
+    theme = F.when(n > 2, F.concat_ws(" ", F.slice(toks, 2, n - 3))).otherwise(
+        F.lit("Unknown")
+    )
+    ptype = F.when(n > 0, F.element_at(toks, 1)).otherwise(F.lit("Unknown"))
+    return F.struct(
+        date.alias("date"),
+        overview.alias("overview"),
+        ptype.alias("publication_type"),
+        theme.alias("publication_theme"),
+    )
+
+
 @F.pandas_udf(T.StringType())
 def highlight_udf(text: pd.Series, phrases: pd.Series) -> pd.Series:
     """F8 — highlighter (generative/utils.py:24-77): case-insensitive FIRST

@@ -344,6 +344,13 @@ def build_index(
     if resume:
         done_chunks = staged_chunks(spark, index_dir)
 
+    if set(range(n_chunks)) - done_chunks:
+        # chunks will be (re)staged: a pre-existing _SUCCESS.json from an
+        # earlier completed build must not present the dir as complete while
+        # its staged inputs are partially rewritten (crash / stop_after_chunks
+        # window); it is rewritten only after merge_index commits
+        _invalidate_success(index_dir)
+
     processed = 0
     for chunk in range(n_chunks):
         if chunk in done_chunks:
@@ -396,6 +403,7 @@ def update_index(
     t0 = time.time()
     P = num_partitions or spark.sparkContext.defaultParallelism
     base = _prepare_base(new_docs, lang)
+    _invalidate_success(index_dir)  # stale until merge_index recommits
     existing_path = os.path.join(index_dir, "staged")
     if os.path.exists(existing_path):
         existing = spark.read.parquet(existing_path).select("url")
@@ -409,6 +417,12 @@ def update_index(
     result.wall_s = time.time() - t0
     _finalize_stats(index_dir, result.wall_s)
     return result
+
+
+def _invalidate_success(index_dir: str) -> None:
+    p = os.path.join(index_dir, "_SUCCESS.json")
+    if os.path.exists(p):
+        os.remove(p)
 
 
 def _finalize_stats(index_dir: str, wall_s: float) -> None:
@@ -528,18 +542,38 @@ def merge_index(
             staged.select(F.explode("terms").alias("term"))
             .distinct()
             .select(F.xxhash64("term").alias("term_id"), "term")
-        )
-        lex_stats = pst.groupBy("term_id").agg(
-            F.sum("n").alias("df"),
-            F.sum("tf_sum").alias("cf"),
-            F.max("block_max_tfn").alias("max_tfn"),
-        )
-        lexicon = lex_stats.join(term_dict, "term_id").select(
-            "term_id", "term", "df", "cf", "max_tfn"
-        )
-        lexicon.repartition(max(1, P_pack // 4), "term_id").sortWithinPartitions(
-            "term_id"
-        ).write.mode("overwrite").parquet(os.path.join(index_dir, "lexicon"))
+        ).persist()
+        try:
+            # xxhash64 collision between two distinct terms would silently
+            # merge their df/cf/max_tfn into BOTH lexicon rows (ranking
+            # corruption) — detect on the small |vocab| relation and fail
+            # loudly; P(collision) ≈ |V|²/2⁶⁵ (~10⁻⁹ even at 10⁸ terms)
+            dup = (
+                term_dict.groupBy("term_id")
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise RuntimeError(
+                    f"xxhash64 term_id collision (term_id={dup[0]['term_id']}); "
+                    "two distinct terms share an id — the lexicon would merge "
+                    "their stats. Re-key with a wider/salted id."
+                )
+            lex_stats = pst.groupBy("term_id").agg(
+                F.sum("n").alias("df"),
+                F.sum("tf_sum").alias("cf"),
+                F.max("block_max_tfn").alias("max_tfn"),
+            )
+            lexicon = lex_stats.join(term_dict, "term_id").select(
+                "term_id", "term", "df", "cf", "max_tfn"
+            )
+            lexicon.repartition(max(1, P_pack // 4), "term_id").sortWithinPartitions(
+                "term_id"
+            ).write.mode("overwrite").parquet(os.path.join(index_dir, "lexicon"))
+        finally:
+            term_dict.unpersist()
         timings["lexicon"] = time.time() - tpl
 
     # metrics read only (pid, n, bytes) — parquet column pruning skips the

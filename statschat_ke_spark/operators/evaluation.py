@@ -38,11 +38,34 @@ def keyword_recall(text: Column, keywords: Column) -> Column:
     )
 
 
-def reciprocal_rank(ranked: Column, expected: Column) -> Column:
-    """1/position of ``expected`` in the ``ranked`` array (1-based), 0.0 when
-    absent — evaluation.py:202-232 semantics."""
-    pos = F.array_position(_c(ranked), _c(expected))
-    return F.when(pos > 0, F.lit(1.0) / pos).otherwise(F.lit(0.0))
+def reciprocal_rank(ranked: Column, expected: Column, *, match: str = "contains") -> Column:
+    """1/rank of ``expected`` in the ``ranked`` array (1-based), 0.0 when
+    absent — full mmr_url parity (evaluation.py:202-232):
+
+    - ``match="contains"`` (default, reference semantics): the expected url
+      matches a result by SUBSTRING containment (``expected_url in url``),
+      and an empty/null expectation scores 1.0 when no results came back,
+      0.0 when any did.
+    - ``match="exact"``: strict element equality (used by the driver
+      contract entry over integer doc ids, where containment on stringified
+      ids would be meaningless).
+    """
+    ranked, expected = _c(ranked), _c(expected)
+    if match == "exact":
+        pos = F.array_position(ranked, expected)
+        return F.when(pos > 0, F.lit(1.0) / pos).otherwise(F.lit(0.0))
+    if match != "contains":
+        raise ValueError(f"unknown match {match!r}")
+    no_expectation = expected.isNull() | (expected.cast("string") == "")
+    pos = F.array_position(
+        F.transform(ranked, lambda u: u.cast("string").contains(expected.cast("string"))),
+        F.lit(True),
+    )
+    found = F.when(pos > 0, F.lit(1.0) / pos).otherwise(F.lit(0.0))
+    return F.when(
+        no_expectation,
+        F.when(F.size(ranked) > 0, F.lit(0.0)).otherwise(F.lit(1.0)),
+    ).otherwise(found)
 
 
 def evaluate_retrieval(
@@ -54,10 +77,28 @@ def evaluate_retrieval(
     rank_col: str = "rank",
 ) -> DataFrame:
     """Join golden questions (expected_url, expected_keywords) against ranked
-    results and emit per-question metrics; aggregate with mean_metrics()."""
-    ranked_lists = results.orderBy(question_key, rank_col).groupBy(question_key).agg(
-        F.collect_list(url_col).alias("ranked_urls"),
-        F.first("text", ignorenulls=True).alias("top_text"),
+    results and emit per-question metrics; aggregate with mean_metrics().
+
+    Ordering is enforced INSIDE the aggregation: collect_list gives no
+    cross-partition order guarantee after the groupBy shuffle, so the rank
+    is carried in a struct and array_sort restores it (struct comparison is
+    field-ordered, rank first). A pre-groupBy orderBy would silently break
+    exactly at the distributed 10^5-question scale this module targets.
+    """
+    sorted_structs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(rank_col).alias("r"),
+                F.col(url_col).alias("u"),
+                F.col("text").alias("t"),
+            )
+        )
+    )
+    ranked_lists = results.groupBy(question_key).agg(
+        F.transform(sorted_structs, lambda s: s["u"]).alias("ranked_urls"),
+        F.element_at(
+            F.filter(sorted_structs, lambda s: s["t"].isNotNull()), 1
+        )["t"].alias("top_text"),
     )
     joined = questions.join(ranked_lists, question_key, "left")
     return joined.select(

@@ -78,6 +78,44 @@ def match_superseded(new_docs: DataFrame, old_docs: DataFrame,
     )
 
 
+def containment_join(chunks: DataFrame, docs: DataFrame,
+                     source_col: str = "source",
+                     name_col: str = "title",
+                     prefix: int = PREFIX) -> DataFrame:
+    """J4 — chunk↔doc substring containment join (latest_updates.py:97-111:
+    ``doc[:60] in metadata["source"]``), scale-safe two-path plan:
+
+    1. fast path: equi join on the ``prefix``-char key — covers every match
+       where the chunk source STARTS with the doc-name prefix (the layout
+       the reference produces: source = name-derived id);
+    2. fallback: doc names not matched by the equi path (a left-anti
+       residual, tiny by construction) broadcast into a contains() theta
+       join, preserving the reference's contains-anywhere semantics for
+       names the layout assumption misses. (A name already matched by
+       prefix is assumed to have no ADDITIONAL mid-string matches — true
+       for the reference's name-derived source ids; a full anywhere-join
+       would be the all-pairs product this operator exists to avoid.)
+
+    Returns (source, title) match pairs, deduplicated.
+    """
+    c = chunks.select(F.col(source_col).alias("source")).distinct()
+    d = docs.select(F.col(name_col).alias("title")).distinct().withColumn(
+        "_pfx", F.substring("title", 1, prefix)
+    )
+    eq = (
+        c.withColumn("_pfx", F.substring("source", 1, prefix))
+        .join(d, "_pfx")
+        .select("source", "title")
+    )
+    unmatched = d.join(eq.select("title"), "title", "left_anti")
+    theta = (
+        c.crossJoin(F.broadcast(unmatched))
+        .filter(F.col("source").contains(F.col("_pfx")))
+        .select("source", "title")
+    )
+    return eq.unionByName(theta).dropDuplicates(["source", "title"])
+
+
 def apply_update(base: DataFrame, delta: DataFrame,
                  key_col: str = "url",
                  series_col: str = "title",

@@ -197,3 +197,38 @@ def test_winnowing_fingerprint(spark):
     inter_13 = len(got[1] & got[3]) / max(1, len(got[1] | got[3]))
     assert inter_12 > 0.4
     assert inter_13 < inter_12
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A planted boilerplate cluster (many docs sharing one hot shingle run)
+    must not explode the join: the cap drops the hot shingles from candidate
+    generation, reports them, and distinctive near-dup pairs are still found
+    with EXACT jaccard values."""
+    from statschat_ke_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved copyright notice applies here " * 2
+    rows = [(i, boiler + f"unique tail {i} nothing shared") for i in range(40)]
+    # one genuine near-dup pair with distinctive (non-hot) shingles
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows += [(100, base), (101, base + " extra")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs, dropped = ngram_jaccard_pairs(
+        docs, min_jaccard=0.5, max_shingle_df=8, return_dropped=True
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert (100, 101) in got
+    # exact jaccard for the planted pair (distinct 5-shingles)
+    import itertools
+
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + 5]) for i in range(len(toks) - 4)}
+
+    a, b = sh(base), sh(base + " extra")
+    assert abs(got[(100, 101)] - len(a & b) / len(a | b)) < 1e-6
+    # the boilerplate shingles were dropped AND reported
+    d = dropped.collect()
+    assert len(d) > 0 and all(r.s_df > 8 for r in d)
+    # boilerplate-only pairs are not emitted (their shared shingles are all hot)
+    boiler_pairs = [k for k in got if k[0] < 40 and k[1] < 40]
+    assert boiler_pairs == []

@@ -224,3 +224,179 @@ def test_apply_update_equals_full_rebuild(spark):
     assert [r.url for r in merged] == ["a", "b", "c"]
     assert [r.latest for r in merged] == [False, False, True]
     assert merged[1].text == "y2"  # delta replaced base row
+
+
+# ---- round-2 additions: S7/F13, SO1, F16, F17, J4, levenshtein metric ----
+
+
+def _ref_sentinel(text: str) -> tuple[str, str, str, str]:
+    """Python emulation of reference get_abstract_metadata
+    (pdf_to_json.py:272-385) string logic, for parity assertions."""
+    start, end = "About Report ", "Share This Page"
+    i1 = text.find(start)
+    i2 = text.find(end, i1 + len(start))
+    sub = (
+        "About-Report " + text[i1 + len(start):i2] + " Overview-End"
+        if (i1 != -1 and i2 != -1)
+        else ""
+    )
+    j1 = sub.find("About-Report")
+    j2 = sub.find(" Overview", j1 + 12)
+    pub = sub[j1 + 12:j2] if (j1 != -1 and j2 != -1) else ""
+    k1 = sub.find("Overview ")
+    k2 = sub.find(" Overview-End", k1 + 9)
+    ov = sub[k1 + 9:k2] if (k1 != -1 and k2 != -1) else ""
+    ps = pub.split()
+    date = " ".join(ps[-2:]) if len(ps) >= 2 else "Unknown"
+    if date == "Unknown":
+        l1 = text.find("Main Report")
+        l2 = text.find("Visit the KNBS", l1 + 11)
+        if l1 != -1 and l2 != -1:
+            subn = text[l1 + 11:l2]
+            for y in range(1954, 2050):
+                if str(y) in subn:
+                    date = str(y)
+    theme = " ".join(ps[1:-2]) if len(ps) > 2 else "Unknown"
+    ptype = ps[0] if len(ps) > 0 else "Unknown"
+    return date, ov, ptype, theme
+
+
+def test_sentinel_metadata_reference_parity(spark):
+    from statschat_ke_spark.functions.refops import sentinel_metadata
+
+    cases = [
+        "Hdr About Report Report Economic Survey May 2023 Overview "
+        "ov text here Share This Page ft",
+        "Hdr Main Report published in 1987 and 2001 blah Visit the KNBS ft",
+        "no sentinels at all",
+        "About Report X Share This Page",          # 1-token pub info
+        "About Report A B Share This Page",        # 2 tokens -> date only
+        "About Report Overview twice Overview in body Share This Page",
+        "Main Report no year here Visit the KNBS",
+        "About Report  Share This Page Main Report year 1999 Visit the KNBS",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [
+        (r.m.date, r.m.overview, r.m.publication_type, r.m.publication_theme)
+        for r in df.select(sentinel_metadata(F.col("text")).alias("m")).collect()
+    ]
+    assert got == [_ref_sentinel(c) for c in cases]
+
+
+def test_merge_highlight_phrases(spark):
+    from statschat_ke_spark.functions.refops import merge_highlight_phrases
+
+    out = one(
+        spark,
+        merge_highlight_phrases(
+            F.col("ans"), F.col("h1"), F.col("h2"), F.col("h3")
+        ),
+        _schema="ans string, h1 array<string>, h2 array<string>, h3 array<string>",
+        ans="answer",
+        h1=["bb", "a", "answer"],
+        h2=["ccc"],
+        h3=None,
+    )
+    # distinct union, sorted length-ascending (reference key=len), lex ties
+    assert out == ["a", "bb", "ccc", "answer"]
+    # empty answer is excluded (reference's conditional list)
+    out2 = one(
+        spark,
+        merge_highlight_phrases(F.col("ans"), F.col("h1"), F.col("h2"), F.col("h3")),
+        _schema="ans string, h1 array<string>, h2 array<string>, h3 array<string>",
+        ans="", h1=["x"], h2=[], h3=[],
+    )
+    assert out2 == ["x"]
+
+
+def test_normalize_path_keys(spark):
+    from statschat_ke_spark.functions.refops import normalize_path_keys
+
+    out = one(
+        spark,
+        normalize_path_keys(F.col("m")),
+        _schema="m map<string,int>",
+        m={"a/b\\c//d": 1, "plain": 2},
+    )
+    assert out == {"a\\b\\c\\d": 1, "plain": 2}
+
+
+def test_parse_llm_response_strict(spark):
+    from statschat_ke_spark.functions.refops import (
+        llm_response_is_valid,
+        parse_llm_response,
+    )
+
+    good = (
+        '{"answer_provided": true, "most_likely_answer": "42", '
+        '"highlighting1": ["a"], "highlighting2": [], "highlighting3": [], '
+        '"reasoning": "because"}'
+    )
+    smart = good.replace('"42"', "“42”")  # smart quotes normalized
+    rows = [(good,), (smart,), ("not json",), ('{"answer_provided": null}',)]
+    df = spark.createDataFrame(rows, "js string")
+    out = df.select(
+        parse_llm_response(F.col("js")).alias("p")
+    ).select("p", llm_response_is_valid(F.col("p")).alias("ok")).collect()
+    assert out[0].p.answer_provided is True and out[0].ok
+    assert out[1].p.most_likely_answer == "42" and out[1].ok
+    assert not out[2].ok
+    assert not out[3].ok
+
+
+def test_containment_join(spark):
+    from statschat_ke_spark.operators.latest import containment_join
+
+    chunks = spark.createDataFrame(
+        [Row(source=s) for s in [
+            "economic-survey-2023_0", "economic-survey-2023_1",
+            "prefix-then-gdp-report-xyz", "unrelated",
+        ]]
+    )
+    docs = spark.createDataFrame(
+        [Row(title=t) for t in ["economic-survey-2023", "gdp-report", "absent"]]
+    )
+    got = {(r.source, r.title) for r in containment_join(chunks, docs).collect()}
+    # startswith matches via the equi path; mid-string via the theta fallback
+    assert got == {
+        ("economic-survey-2023_0", "economic-survey-2023"),
+        ("economic-survey-2023_1", "economic-survey-2023"),
+        ("prefix-then-gdp-report-xyz", "gdp-report"),
+    }
+
+
+def test_match_superseded_levenshtein(spark):
+    new = spark.createDataFrame([Row(title="consumer price index november 2023")])
+    old = spark.createDataFrame(
+        [
+            Row(title="consumer price index october 2023"),
+            Row(title="gross domestic product q3"),
+        ]
+    )
+    got = match_superseded(new, old, metric="levenshtein").collect()
+    assert len(got) == 1
+    a, b = "consumer price index november 2023", "consumer price index october 2023"
+    import math
+
+    def lev(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cx != cy)))
+            prev = cur
+        return prev[-1]
+
+    want = round(100.0 * (1.0 - lev(a, b) / max(len(a), len(b))), 6)
+    assert math.isclose(got[0].similarity, want)
+
+
+def test_html_escape(spark):
+    from statschat_ke_spark.functions.refops import html_escape
+    import markupsafe
+
+    cases = ['<b>&"quoted"\'</b>', "plain", "a&amp;b"]
+    for c in cases:
+        got = one(spark, html_escape(F.col("s")), s=c)
+        assert got == str(markupsafe.escape(c)), c

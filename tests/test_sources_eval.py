@@ -130,3 +130,52 @@ def test_evaluate_retrieval_pipeline(spark):
     m = mean_metrics(spark.createDataFrame(per_q)).collect()[0]
     assert m.mean_reciprocal_rank == pytest.approx(0.5, abs=1e-6)
     assert m.top1_accuracy == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_reciprocal_rank_mmr_url_parity(spark):
+    """Full mmr_url parity (reference evaluation.py:202-232): substring
+    containment matching + the empty-expected 1.0/0.0 branch."""
+    rows = [
+        Row(i=1, ranked=["x/page/u1#p2", "y"], exp="u1"),      # containment @1
+        Row(i=2, ranked=["y", "x/page/u1#p2"], exp="u1"),      # containment @2
+        Row(i=3, ranked=["a", "b"], exp=""),                   # no expectation, results -> 0
+        Row(i=4, ranked=[], exp=""),                           # no expectation, none -> 1
+        Row(i=5, ranked=[], exp=None),                         # null expectation, none -> 1
+        Row(i=6, ranked=["a"], exp="zzz"),                     # absent -> 0
+    ]
+    df = spark.createDataFrame(rows, "i int, ranked array<string>, exp string")
+    got = [
+        r.rr
+        for r in df.select(
+            "i", reciprocal_rank("ranked", "exp").alias("rr")
+        ).orderBy("i").collect()
+    ]
+    assert got == [1.0, 0.5, 0.0, 1.0, 1.0, 0.0]
+
+    # reference-emulation cross-check on the same cases
+    def mmr_url(expected, returned):
+        if not expected:
+            return 0.0 if len(returned) > 0 else 1.0
+        for i, url in enumerate(returned):
+            if expected in url:
+                return 1.0 / (i + 1.0)
+        return 0.0
+
+    assert got == [mmr_url(r.exp, r.ranked) for r in rows]
+
+
+def test_evaluate_retrieval_order_across_partitions(spark):
+    """Ranked lists must be rank-ordered even when one query's result rows
+    span many partitions (collect_list gives no shuffle-order guarantee)."""
+    n = 200
+    results = spark.createDataFrame(
+        [Row(query_id=1, rank=r, url=f"u{r}", text=f"t{r}") for r in range(1, n + 1)]
+    ).repartition(16)  # scatter rows of the single query across partitions
+    questions = spark.createDataFrame(
+        [Row(query_id=1, expected_url=f"u{n}", expected_keywords=["t1"])]
+    )
+    per_q = evaluate_retrieval(questions, results).collect()[0]
+    # expected url sits at rank n -> rr must be exactly 1/n
+    assert per_q.reciprocal_rank == pytest.approx(1.0 / n, abs=1e-12)
+    # top_text comes from the rank-1 row
+    assert per_q.keyword_recall == 1.0
