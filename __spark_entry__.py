@@ -33,7 +33,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir) the real inverted index over `documents`."""
-    from statschat_ke_spark.index.build import build_index
+    import json
+    import shutil
+
+    from statschat_ke_spark.index.build import INDEX_FORMAT, build_index
 
     key = os.path.abspath(sf_dir)
     if key not in _INDEX_CACHE:
@@ -41,7 +44,15 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
             tempfile.gettempdir(), "statschat_idx_" + key.strip("/").replace("/", "_")
         )
         marker = os.path.join(idx, "_SUCCESS.json")
-        if not os.path.exists(marker):
+        fresh = False
+        if os.path.exists(marker):
+            try:
+                with open(marker) as f:
+                    fresh = json.load(f).get("format") == INDEX_FORMAT
+            except Exception:
+                fresh = False
+        if not fresh:
+            shutil.rmtree(idx, ignore_errors=True)  # stale or old-format cache
             docs = _t(spark, sf_dir, "documents")
             build_index(spark, docs, idx, lang="en")
         _INDEX_CACHE[key] = idx

@@ -64,6 +64,9 @@ from statschat_ke_spark.index.codec import BLOCK, vbyte_encode_chunks
 K1 = 1.2
 B = 0.75
 SLICE_BITS = 6  # 64 doc-range slices; raise for real clusters
+# Bump when the on-disk postings/lexicon layout changes; recorded in
+# _SUCCESS.json so stale caches rebuild instead of misreading.
+INDEX_FORMAT = 2
 LONG_MIN = -(2**63)
 # Arrow batch rows for the pack stage. Pack input rows are 28 fixed-width
 # bytes, so 128k rows ≈ 3.6 MB per batch; the 10k default caused a
@@ -124,7 +127,13 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("doc_ids", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("dls", T.BinaryType(), False),
-        T.StructField("block_max_tfn", T.DoubleType(), False),
+        # avgdl-FREE block bounds: tfn(tf, dl; avgdl) is increasing in tf and
+        # decreasing in dl, so tfn(max_tf, min_dl; avgdl) upper-bounds every
+        # doc in the block for WHATEVER avgdl holds at query time. Baking
+        # avgdl-dependent tfn into blocks (v1) would make WAND pruning unsafe
+        # the moment an incremental segment shifts avgdl.
+        T.StructField("block_max_tf", T.LongType(), False),
+        T.StructField("block_min_dl", T.LongType(), False),
         T.StructField("bytes", T.IntegerType(), False),
         T.StructField("pid", T.IntegerType(), False),
     ]
@@ -134,7 +143,7 @@ POSTINGS_SCHEMA = T.StructType(
 _PACK_COLS = ("term_id", "slice", "doc_id", "tf", "doclen")
 
 
-def _pack_body(cols: dict, avgdl: float, pid: int):
+def _pack_body(cols: dict, pid: int):
     """Fully-vectorized block packer: sorted (term_id, slice, doc_sort) rows
     → posting-block arrays. One numpy pass — group/block boundaries via
     flatnonzero/reduceat, codec via a single chunked vbyte encode per column.
@@ -162,8 +171,8 @@ def _pack_body(cols: dict, avgdl: float, pid: int):
     bstart = np.flatnonzero(is_block_start)
     bend = np.append(bstart[1:], n)
 
-    tfn = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
-    block_max = np.maximum.reduceat(tfn, bstart)
+    block_max_tf = np.maximum.reduceat(tf, bstart)
+    block_min_dl = np.minimum.reduceat(dl, bstart)
     tf_sum = np.add.reduceat(tf, bstart)
 
     # delta-gap doc ids: absolute at each block start, gap within a block
@@ -189,7 +198,8 @@ def _pack_body(cols: dict, avgdl: float, pid: int):
             pa.array(enc_ids, type=pa.binary()),
             pa.array(enc_tfs, type=pa.binary()),
             pa.array(enc_dls, type=pa.binary()),
-            pa.array(block_max, type=pa.float64()),
+            pa.array(block_max_tf.astype(np.int64), type=pa.int64()),
+            pa.array(block_min_dl.astype(np.int64), type=pa.int64()),
             pa.array(
                 np.array(
                     [len(a) + len(b) + len(c) for a, b, c in zip(enc_ids, enc_tfs, enc_dls)],
@@ -201,12 +211,13 @@ def _pack_body(cols: dict, avgdl: float, pid: int):
         ],
         names=[
             "term_id", "slice", "block_id", "n", "tf_sum", "first_doc",
-            "last_doc", "doc_ids", "tfs", "dls", "block_max_tfn", "bytes", "pid",
+            "last_doc", "doc_ids", "tfs", "dls", "block_max_tf", "block_min_dl",
+            "bytes", "pid",
         ],
     )
 
 
-def _pack_groups(avgdl: float):
+def _pack_groups():
     """mapInArrow packer: sorted (term_id, slice, doc_sort) rows → blocks.
 
     Arrow-native: input RecordBatch columns view as numpy zero-copy (all
@@ -237,10 +248,10 @@ def _pack_groups(avgdl: float):
             first_tail = int(np.argmax(mask_tail)) if mask_tail.any() else len(keys)
             if first_tail > 0:
                 body = {k: cols[k][:first_tail] for k in _PACK_COLS}
-                yield _pack_body(body, avgdl, pid)
+                yield _pack_body(body, pid)
             leftover = {k: cols[k][first_tail:] for k in _PACK_COLS}
         if leftover is not None and len(leftover["term_id"]):
-            yield _pack_body(leftover, avgdl, pid)
+            yield _pack_body(leftover, pid)
 
     return pack
 
@@ -275,7 +286,9 @@ def _prepare_base(docs: DataFrame, lang: str | None) -> DataFrame:
     return out.select("doc_id", "url", "text")
 
 
-def _stage_chunk(spark: SparkSession, cdf: DataFrame, index_dir: str, chunk: int) -> int:
+def _stage_chunk(
+    spark: SparkSession, cdf: DataFrame, index_dir: str, chunk: int, n_files: int = -1
+) -> int:
     """Phase-A unit of work: tokenize one chunk into ONE staged table
     (doc_id, url, doclen, tfs) — a single action, no persist — and append the
     lineage row only after the write commits (crash before the lineage append
@@ -295,9 +308,11 @@ def _stage_chunk(spark: SparkSession, cdf: DataFrame, index_dir: str, chunk: int
     tok.write.mode("overwrite").parquet(path)
     # row count from parquet footers — metadata-only, no recompute
     n_rows = spark.read.parquet(path).count()
+    # n_files records the listing-level slice size (bytes-read evidence that
+    # file-chunked builds scan the input once total); -1 = not file-chunked
     lineage_row = spark.createDataFrame(
-        [(chunk, int(n_rows), float(time.time() - ts), time.time())],
-        "chunk int, rows_in long, wall_s double, committed_at double",
+        [(chunk, int(n_rows), float(time.time() - ts), time.time(), int(n_files))],
+        "chunk int, rows_in long, wall_s double, committed_at double, n_files int",
     )
     lineage_row.write.mode("append").parquet(os.path.join(index_dir, "_lineage"))
     return int(n_rows)
@@ -312,9 +327,21 @@ def staged_chunks(spark: SparkSession, index_dir: str) -> set[int]:
     return {r.chunk for r in done}
 
 
+def _chunk_files(path: str) -> list[str]:
+    """Parquet part-files under a dataset dir (deterministic order)."""
+    import glob as _glob
+
+    files = sorted(
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    )
+    return files or [path]
+
+
 def build_index(
     spark: SparkSession,
-    docs: DataFrame,
+    docs: DataFrame | str,
     index_dir: str,
     *,
     lang: str | None = "en",
@@ -328,6 +355,13 @@ def build_index(
     Layout: staged/ (phase A, per-chunk), docs/, lexicon/, postings/,
     _lineage/, _metrics/, stats.json, _SUCCESS.json.
 
+    ``docs`` is a DataFrame or a parquet dataset PATH. With a path and
+    ``n_chunks > 1``, chunks are cut at the FILE LISTING (round-robin over
+    the sorted part-files), so each phase-A pass reads ONLY its slice of the
+    input — n_chunks staged passes cost one total scan. With a DataFrame the
+    fallback is a pmod(url-hash) filter, which re-scans the input per chunk
+    (documented; fine for n_chunks=1, the default).
+
     ``stop_after_chunks`` caps phase-A work done in this invocation (an
     operational budget knob); when the cap fires before all chunks are staged
     the merge is skipped and the result has ``complete=False`` — rerun with
@@ -338,7 +372,15 @@ def build_index(
     sc = spark.sparkContext
     P = num_partitions or sc.defaultParallelism
     os.makedirs(index_dir, exist_ok=True)
-    base = _prepare_base(docs, lang)
+
+    by_files = isinstance(docs, str) and n_chunks > 1
+    if by_files:
+        files = _chunk_files(docs)
+        base = None
+    else:
+        if isinstance(docs, str):
+            docs = spark.read.parquet(docs)
+        base = _prepare_base(docs, lang)
 
     done_chunks: set[int] = set()
     if resume:
@@ -367,10 +409,21 @@ def build_index(
                 chunks_skipped=len(done_chunks),
                 complete=False,
             )
-        cdf = base if n_chunks == 1 else base.filter(
-            F.pmod(F.xxhash64(F.col("url")), F.lit(n_chunks)) == chunk
-        )
-        _stage_chunk(spark, cdf, index_dir, chunk)
+        if by_files:
+            # listing-level slice: this pass reads ONLY these files
+            chunk_paths = files[chunk::n_chunks] or [files[0]]
+            cdf = _prepare_base(spark.read.parquet(*chunk_paths), lang)
+            if not files[chunk::n_chunks]:
+                cdf = cdf.limit(0)  # more chunks than files: empty slice
+            n_files = len(files[chunk::n_chunks])
+        elif n_chunks == 1:
+            cdf, n_files = base, -1
+        else:
+            cdf = base.filter(
+                F.pmod(F.xxhash64(F.col("url")), F.lit(n_chunks)) == chunk
+            )
+            n_files = -1
+        _stage_chunk(spark, cdf, index_dir, chunk, n_files=n_files)
         processed += 1
 
     result = merge_index(spark, index_dir, num_partitions=P, n_chunks=n_chunks)
@@ -388,35 +441,138 @@ def update_index(
     *,
     lang: str | None = "en",
     num_partitions: int | None = None,
+    strategy: str = "segment",
 ) -> BuildResult:
     """Incremental UPDATE: stage only genuinely-new documents as a fresh
-    chunk, then re-merge. The Spark analog of the reference's UPDATE mode
+    chunk, then merge. The Spark analog of the reference's UPDATE mode
     (pdf_downloader.py:133-152 anti-join + preprocess.py:250-288 FAISS
     merge_from): new-vs-existing is a left anti join on url against the
     already-staged doc table, so re-sending the same batch is a no-op.
 
-    Phase B recomputes lexicon/postings from all staged chunks — the plain-
-    parquet stand-in for an Iceberg ``MERGE INTO`` over term-keyed posting
-    partitions; the phase-A work (extract+tokenize, the dominant cost at
-    100 TB) is never redone.
+    ``strategy``:
+    - ``segment`` (default) — pack ONLY the delta into a new doc-disjoint
+      segment (postings/docs/lexicon/_metrics under ``seg=N``); existing
+      segment files are never read or rewritten, so phase-B wall time is
+      proportional to the DELTA, not the corpus. This is the plain-parquet
+      realization of an Iceberg snapshot append / ``MERGE INTO`` over
+      term-keyed partitions. Query-time exactness: segments are doc-
+      disjoint, per-(segment, slice) WAND local top-k composes exactly, and
+      idf/avgdl are merged globals (never baked into posting bytes — the
+      block bounds are avgdl-free, see POSTINGS_SCHEMA).
+    - ``compact`` — full phase-B re-merge of all staged chunks into one
+      segment; byte-identical to a from-scratch build (the compaction /
+      rewrite path; run it periodically when segment count grows).
     """
     t0 = time.time()
     P = num_partitions or spark.sparkContext.defaultParallelism
     base = _prepare_base(new_docs, lang)
-    _invalidate_success(index_dir)  # stale until merge_index recommits
+    _invalidate_success(index_dir)  # stale until the merge recommits
     existing_path = os.path.join(index_dir, "staged")
     if os.path.exists(existing_path):
         existing = spark.read.parquet(existing_path).select("url")
         base = base.join(existing, "url", "left_anti")
     done = staged_chunks(spark, index_dir)
     next_chunk = (max(done) + 1) if done else 0
-    n_new = _stage_chunk(spark, base, index_dir, next_chunk)
-    result = merge_index(spark, index_dir, num_partitions=P, n_chunks=next_chunk + 1)
-    result.chunks_processed = 1
-    result.chunks_skipped = len(done)
-    result.wall_s = time.time() - t0
-    _finalize_stats(index_dir, result.wall_s)
-    return result
+    _stage_chunk(spark, base, index_dir, next_chunk)
+
+    # no prior completed merge (fresh dir) → the delta IS the whole index;
+    # compaction and segment-append coincide, take the compaction path
+    has_base = os.path.exists(os.path.join(index_dir, "stats.json"))
+    if strategy == "compact" or not has_base:
+        result = merge_index(
+            spark, index_dir, num_partitions=P, n_chunks=next_chunk + 1
+        )
+        result.chunks_processed = 1
+        result.chunks_skipped = len(done)
+        result.wall_s = time.time() - t0
+        _finalize_stats(index_dir, result.wall_s)
+        return result
+    if strategy != "segment":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    # ---- segment append: delta-proportional phase B ----
+    timings: dict[str, float] = {}
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        old = json.load(f)
+    staged_k = spark.read.parquet(
+        os.path.join(index_dir, "staged", f"chunk={next_chunk}")
+    )
+    srow = staged_k.agg(
+        F.count("*").alias("n"), F.sum("doclen").alias("dl_sum")
+    ).collect()[0]
+    n_delta, dl_delta = int(srow.n), float(srow.dl_sum or 0.0)
+    if n_delta == 0:
+        # idempotent re-send (everything anti-joined away): no segment to
+        # pack; restore the success marker with the unchanged totals
+        segments = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(os.path.join(index_dir, "postings"))
+            if d.startswith("seg=")
+        )
+        _write_stats_and_success(index_dir, old, next_chunk + 1, segments)
+        return BuildResult(
+            index_dir=index_dir,
+            n_docs=int(old["n_docs"]),
+            avgdl=float(old["avgdl"]),
+            n_terms=int(old["n_terms"]),
+            n_posting_rows=int(old.get("n_posting_rows", 0)),
+            wall_s=time.time() - t0,
+            chunks_processed=1,
+            chunks_skipped=len(done),
+        )
+    est_pairs = max(1.0, dl_delta * 0.7)
+    P_pack = max(4, min(P, int(est_pairs // 1_500_000) + 1))
+    P_docs = max(1, min(P, n_delta // 2_000_000 + 1))
+    seg_stats = _build_segment(
+        spark,
+        staged_k,
+        index_dir,
+        next_chunk,
+        P_pack=P_pack,
+        P_docs=P_docs,
+        timings=timings,
+    )
+
+    # merge global stats incrementally (exact: avgdl is a weighted mean)
+    n_docs = int(old["n_docs"]) + n_delta
+    avgdl = (
+        (old["n_docs"] * old["avgdl"] + dl_delta) / n_docs if n_docs else 0.0
+    )
+    n_terms = (
+        spark.read.parquet(os.path.join(index_dir, "lexicon"))
+        .select("term_id")
+        .distinct()
+        .count()
+    )
+    wall = time.time() - t0
+    segments = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(os.path.join(index_dir, "postings"))
+        if d.startswith("seg=")
+    )
+    stats = {
+        **old,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "n_terms": int(n_terms),
+        "n_posting_rows": int(old.get("n_posting_rows", 0)) + seg_stats["rows"],
+        "n_postings": int(old.get("n_postings", 0)) + seg_stats["postings"],
+        "postings_per_sec": (seg_stats["postings"] / wall) if wall > 0 else 0.0,
+        "build_wall_s": wall,
+        "phase_timings_s": {k: round(v, 3) for k, v in timings.items()},
+        "last_delta": {"segment": next_chunk, "n_docs": n_delta},
+    }
+    _write_stats_and_success(index_dir, stats, next_chunk + 1, segments)
+    return BuildResult(
+        index_dir=index_dir,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        n_terms=int(n_terms),
+        n_posting_rows=stats["n_posting_rows"],
+        wall_s=wall,
+        chunks_processed=1,
+        chunks_skipped=len(done),
+    )
 
 
 def _invalidate_success(index_dir: str) -> None:
@@ -438,44 +594,55 @@ def _finalize_stats(index_dir: str, wall_s: float) -> None:
         json.dump(stats, f, indent=2)
 
 
-def merge_index(
+def _check_term_collisions(term_dict: DataFrame) -> None:
+    """xxhash64 collision between two distinct terms would silently merge
+    their df/cf into BOTH lexicon rows (ranking corruption) — detect on the
+    small |vocab| relation and fail loudly; P(collision) ≈ |V|²/2⁶⁵
+    (~10⁻⁹ even at 10⁸ terms)."""
+    dup = (
+        term_dict.groupBy("term_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise RuntimeError(
+            f"xxhash64 term_id collision (term_id={dup[0]['term_id']}); "
+            "two distinct terms share an id — the lexicon would merge "
+            "their stats. Re-key with a wider/salted id."
+        )
+
+
+def _build_segment(
     spark: SparkSession,
+    staged: DataFrame,
     index_dir: str,
+    seg: int,
     *,
-    num_partitions: int | None = None,
-    n_chunks: int | None = None,
-) -> BuildResult:
-    """Phase B: global stats, lexicon, postings from all staged chunks."""
-    t0 = time.time()
-    timings: dict[str, float] = {}
-    tp = time.time()
-    P = num_partitions or spark.sparkContext.defaultParallelism
-    staged = spark.read.parquet(os.path.join(index_dir, "staged"))
+    P_pack: int,
+    P_docs: int,
+    timings: dict,
+) -> dict:
+    """Pack one doc-disjoint SEGMENT: postings/seg=N, docs/seg=N,
+    lexicon/seg=N, _metrics/seg=N. Segments are the incremental-update unit
+    (the Iceberg-snapshot analog): per-slice WAND stays exact because docs
+    are disjoint across segments, and BM25 globals (idf, avgdl) are merged
+    at query/probe time, never baked into posting bytes.
+
+    Returns {n_posting_rows, n_postings, max_p, avg_p} for stats.
+    """
+    seg_sub = f"seg={seg}"
     staged_docs = staged.select("doc_id", "url", "doclen")
-
-    stats_row = staged_docs.agg(
-        F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(stats_row.n_docs), float(stats_row.avgdl or 0.0)
-    timings["stats"] = time.time() - tp
-
-    # Right-size explicit shuffles from the just-measured stats — an
-    # explicit repartition() is exempt from AQE coalescing, so a tiny corpus
-    # on a big session would otherwise pay P tasks of pure scheduler
-    # overhead per stage. Targets: ~1.5M pair rows / pack partition,
-    # ~2M rows / docs partition; both still reach P on big inputs.
-    est_pairs = max(1.0, n_docs * avgdl * 0.7)  # ≈ Σ distinct terms per doc
-    P_pack = max(4, min(P, int(est_pairs // 1_500_000) + 1))
-    P_docs = max(1, min(P, n_docs // 2_000_000 + 1))
 
     def _write_docs() -> None:
         tpd = time.time()
         staged_docs.repartition(P_docs, "doc_id").write.mode("overwrite").parquet(
-            os.path.join(index_dir, "docs")
+            os.path.join(index_dir, "docs", seg_sub)
         )
         timings["docs_write"] = time.time() - tpd
 
-    # ---- postings: the ONE heavy pass over all (doc, term) pairs ----
+    # ---- postings: the ONE heavy pass over the segment's (doc, term) pairs
     # pairs stream out of the columnar staged table (explode of parallel
     # primitive arrays — never materialized to storage); one hash shuffle on
     # (term_id, slice) co-locates each term's doc-range slices WITHOUT the
@@ -504,7 +671,7 @@ def merge_index(
         )
         .repartition(P_pack, "term_id", "slice")
         .sortWithinPartitions("term_id", "slice", doc_sort)
-        .mapInArrow(_pack_groups(avgdl), schema=POSTINGS_SCHEMA)
+        .mapInArrow(_pack_groups(), schema=POSTINGS_SCHEMA)
     )
     # docs table write and postings build are independent DAGs — submit them
     # concurrently so the small docs job fills scheduler slots the big
@@ -518,7 +685,7 @@ def merge_index(
             f_docs = ex.submit(_write_docs)
             f_post = ex.submit(
                 lambda: postings.write.mode("overwrite").parquet(
-                    os.path.join(index_dir, "postings")
+                    os.path.join(index_dir, "postings", seg_sub)
                 )
             )
             f_post.result()
@@ -530,11 +697,13 @@ def merge_index(
             spark.conf.unset(_BATCH_KEY)
     timings["postings"] = time.time() - tp
 
-    # ---- lexicon: per-term stats from packed postings (2-3 orders of
-    # magnitude fewer rows than pairs) joined to the term dictionary — a
-    # JVM-only distinct whose map-side partial agg collapses to |vocab| ----
+    # ---- lexicon: per-term stats from this segment's packed postings (2-3
+    # orders of magnitude fewer rows than pairs) joined to the term
+    # dictionary — a JVM-only distinct whose map-side partial agg collapses
+    # to |vocab|. Global df/cf are the SUM over segments, aggregated at the
+    # (tiny, term_id-pruned) query-time probe.
     tp = time.time()
-    pst = spark.read.parquet(os.path.join(index_dir, "postings"))
+    pst = spark.read.parquet(os.path.join(index_dir, "postings", seg_sub))
 
     def _write_lexicon() -> None:
         tpl = time.time()
@@ -544,34 +713,19 @@ def merge_index(
             .select(F.xxhash64("term").alias("term_id"), "term")
         ).persist()
         try:
-            # xxhash64 collision between two distinct terms would silently
-            # merge their df/cf/max_tfn into BOTH lexicon rows (ranking
-            # corruption) — detect on the small |vocab| relation and fail
-            # loudly; P(collision) ≈ |V|²/2⁶⁵ (~10⁻⁹ even at 10⁸ terms)
-            dup = (
-                term_dict.groupBy("term_id")
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                raise RuntimeError(
-                    f"xxhash64 term_id collision (term_id={dup[0]['term_id']}); "
-                    "two distinct terms share an id — the lexicon would merge "
-                    "their stats. Re-key with a wider/salted id."
-                )
+            _check_term_collisions(term_dict)
             lex_stats = pst.groupBy("term_id").agg(
                 F.sum("n").alias("df"),
                 F.sum("tf_sum").alias("cf"),
-                F.max("block_max_tfn").alias("max_tfn"),
             )
             lexicon = lex_stats.join(term_dict, "term_id").select(
-                "term_id", "term", "df", "cf", "max_tfn"
+                "term_id", "term", "df", "cf"
             )
             lexicon.repartition(max(1, P_pack // 4), "term_id").sortWithinPartitions(
                 "term_id"
-            ).write.mode("overwrite").parquet(os.path.join(index_dir, "lexicon"))
+            ).write.mode("overwrite").parquet(
+                os.path.join(index_dir, "lexicon", seg_sub)
+            )
         finally:
             term_dict.unpersist()
         timings["lexicon"] = time.time() - tpl
@@ -587,14 +741,15 @@ def merge_index(
             F.sum("n").alias("postings"),
             F.sum("bytes").alias("bytes"),
         )
-        per_pid.write.mode("overwrite").parquet(os.path.join(index_dir, "_metrics"))
+        per_pid.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "_metrics", seg_sub)
+        )
         agg_box.append(
             per_pid.agg(
                 F.sum("posting_rows").alias("rows"),
                 F.sum("postings").alias("postings"),
                 F.max("postings").alias("max_p"),
                 F.avg("postings").alias("avg_p"),
-                F.count("*").alias("parts"),
             ).collect()[0]
         )
         timings["metrics"] = time.time() - tpm
@@ -605,9 +760,81 @@ def merge_index(
         f_lex.result()
         f_met.result()
     agg = agg_box[0]
+    timings["finalize"] = time.time() - tp
+    return {
+        "rows": int(agg.rows or 0),
+        "postings": int(agg.postings or 0),
+        "max_p": float(agg.max_p or 0.0),
+        "avg_p": float(agg.avg_p or 0.0),
+    }
+
+
+def _clear_dir(path: str) -> None:
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+
+
+def _write_stats_and_success(index_dir: str, stats: dict, n_chunks, segments) -> None:
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    with open(os.path.join(index_dir, "_SUCCESS.json"), "w") as f:
+        json.dump(
+            {
+                "complete": True,
+                "chunks": n_chunks,
+                "segments": segments,
+                "format": INDEX_FORMAT,
+            },
+            f,
+        )
+
+
+def merge_index(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    num_partitions: int | None = None,
+    n_chunks: int | None = None,
+) -> BuildResult:
+    """Phase B COMPACTION: global stats, lexicon, postings from ALL staged
+    chunks into a single segment (seg=0). Incremental updates can instead
+    append a delta segment (``update_index(strategy='segment')``)."""
+    t0 = time.time()
+    timings: dict[str, float] = {}
+    tp = time.time()
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    staged = spark.read.parquet(os.path.join(index_dir, "staged"))
+    if n_chunks is None:
+        # keep the _SUCCESS marker truthful when invoked standalone (e.g.
+        # after a streaming drain): count the actually-staged chunks
+        n_chunks = len(staged_chunks(spark, index_dir))
+
+    stats_row = staged.agg(
+        F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats_row.n_docs), float(stats_row.avgdl or 0.0)
+    timings["stats"] = time.time() - tp
+
+    # Right-size explicit shuffles from the just-measured stats — an
+    # explicit repartition() is exempt from AQE coalescing, so a tiny corpus
+    # on a big session would otherwise pay P tasks of pure scheduler
+    # overhead per stage. Targets: ~1.5M pair rows / pack partition,
+    # ~2M rows / docs partition; both still reach P on big inputs.
+    est_pairs = max(1.0, n_docs * avgdl * 0.7)  # ≈ Σ distinct terms per doc
+    P_pack = max(4, min(P, int(est_pairs // 1_500_000) + 1))
+    P_docs = max(1, min(P, n_docs // 2_000_000 + 1))
+
+    # compaction owns the whole table dirs: clear any prior segments
+    for sub in ("postings", "docs", "lexicon", "_metrics"):
+        _clear_dir(os.path.join(index_dir, sub))
+
+    seg_stats = _build_segment(
+        spark, staged, index_dir, 0, P_pack=P_pack, P_docs=P_docs, timings=timings
+    )
     # lexicon row count from the parquet just written (metadata-only count)
     n_terms = spark.read.parquet(os.path.join(index_dir, "lexicon")).count()
-    timings["finalize"] = time.time() - tp
     wall = time.time() - t0
 
     stats = {
@@ -618,24 +845,23 @@ def merge_index(
         "slice_bits": SLICE_BITS,
         "block": BLOCK,
         "n_terms": int(n_terms),
-        "n_posting_rows": int(agg.rows or 0),
-        "n_postings": int(agg.postings or 0),
-        "postings_per_sec": (int(agg.postings or 0) / wall) if wall > 0 else 0.0,
-        "skew_ratio": float(agg.max_p / agg.avg_p) if agg.avg_p else 1.0,
+        "n_posting_rows": seg_stats["rows"],
+        "n_postings": seg_stats["postings"],
+        "postings_per_sec": (seg_stats["postings"] / wall) if wall > 0 else 0.0,
+        "skew_ratio": (
+            seg_stats["max_p"] / seg_stats["avg_p"] if seg_stats["avg_p"] else 1.0
+        ),
         "build_wall_s": wall,
         "phase_timings_s": {k: round(v, 3) for k, v in timings.items()},
     }
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump(stats, f, indent=2)
-    with open(os.path.join(index_dir, "_SUCCESS.json"), "w") as f:
-        json.dump({"complete": True, "chunks": n_chunks}, f)
+    _write_stats_and_success(index_dir, stats, n_chunks, segments=[0])
 
     return BuildResult(
         index_dir=index_dir,
         n_docs=n_docs,
         avgdl=avgdl,
         n_terms=int(n_terms),
-        n_posting_rows=int(agg.rows or 0),
+        n_posting_rows=seg_stats["rows"],
         wall_s=wall,
         chunks_processed=0,
         chunks_skipped=0,

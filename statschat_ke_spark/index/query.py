@@ -56,7 +56,11 @@ def load_stats(index_dir: str) -> dict:
 
 
 def _query_terms(spark: SparkSession, index_dir: str, query_text: str) -> dict[int, dict]:
-    """Driver-side lexicon probe: term_id → {idf, max_tfn, df}."""
+    """Driver-side lexicon probe: term_id → {idf, df}.
+
+    The lexicon is segmented (one subdir per incremental segment); global df
+    is the SUM over segments, aggregated here on the term_id-pruned probe
+    (≤ |q| × n_segments rows — trivial)."""
     terms = list(dict.fromkeys(tokenize(query_text)))
     if not terms:
         return {}
@@ -66,13 +70,14 @@ def _query_terms(spark: SparkSession, index_dir: str, query_text: str) -> dict[i
     lex = (
         spark.read.parquet(os.path.join(index_dir, "lexicon"))
         .filter(F.col("term_id").isin(ids))
-        .select("term_id", "df", "max_tfn")
+        .groupBy("term_id")
+        .agg(F.sum("df").alias("df"))
         .collect()
     )
     out = {}
     for r in lex:
         idf = math.log((n - r.df + 0.5) / (r.df + 0.5) + 1.0)
-        out[r.term_id] = {"idf": idf, "max_tfn": float(r.max_tfn), "df": int(r.df)}
+        out[r.term_id] = {"idf": idf, "df": int(r.df)}
     return out
 
 
@@ -100,17 +105,19 @@ def topk(
         pst = (
             spark.read.parquet(os.path.join(index_dir, "postings"))
             .filter(F.col("term_id").isin(ids))
-            .select("term_id", "slice", "block_id", "n", "doc_ids", "tfs", "dls",
-                    "block_max_tfn", "first_doc", "last_doc")
+            .select("seg", "term_id", "slice", "block_id", "n", "doc_ids", "tfs",
+                    "dls", "block_max_tf", "block_min_dl", "first_doc", "last_doc")
         )
         idf_map = {t: v["idf"] for t, v in terminfo.items()}
-        ub_map = {t: v["idf"] * v["max_tfn"] for t, v in terminfo.items()}
         if mode == "exhaustive":
             scored = pst.mapInPandas(_exhaustive_scorer(idf_map, avgdl), RESULT_SCHEMA)
             res = scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
         elif mode == "wand":
-            res = pst.groupBy("slice").applyInPandas(
-                _wand_slice(idf_map, ub_map, avgdl, k), RESULT_SCHEMA
+            # group by (seg, slice): segments are doc-disjoint and slices
+            # partition docs within a segment, so local top-k per group +
+            # global TakeOrdered is exact
+            res = pst.groupBy("seg", "slice").applyInPandas(
+                _wand_slice(idf_map, avgdl, k), RESULT_SCHEMA
             )
         else:
             raise ValueError(f"unknown mode {mode!r}")
@@ -165,11 +172,12 @@ def topk_batch(
         for r in (
             spark.read.parquet(os.path.join(index_dir, "lexicon"))
             .filter(F.col("term_id").isin(union_ids))
-            .select("term_id", "df", "max_tfn")
+            .groupBy("term_id")
+            .agg(F.sum("df").alias("df"))
             .collect()
         ):
             idf = math.log((n - r.df + 0.5) / (r.df + 0.5) + 1.0)
-            lex[r.term_id] = {"idf": idf, "max_tfn": float(r.max_tfn)}
+            lex[r.term_id] = {"idf": idf}
     per_q: dict[int, dict[int, dict]] = {
         qid: {t: lex[t] for t in ids if t in lex} for qid, ids in ids_by_q.items()
     }
@@ -179,14 +187,11 @@ def topk_batch(
             [], "query_id long, rank int, doc_id long, score double"
         )
     idf_by_q = {q: {t: v["idf"] for t, v in ti.items()} for q, ti in per_q.items()}
-    ub_by_q = {
-        q: {t: v["idf"] * v["max_tfn"] for t, v in ti.items()} for q, ti in per_q.items()
-    }
     pst = (
         spark.read.parquet(os.path.join(index_dir, "postings"))
         .filter(F.col("term_id").isin(all_ids))
-        .select("term_id", "slice", "block_id", "n", "doc_ids", "tfs", "dls",
-                "block_max_tfn", "first_doc", "last_doc")
+        .select("seg", "term_id", "slice", "block_id", "n", "doc_ids", "tfs",
+                "dls", "block_max_tf", "block_min_dl", "first_doc", "last_doc")
     )
 
     schema = T.StructType(
@@ -205,7 +210,7 @@ def topk_batch(
             if not q_terms:
                 continue
             sub = pdf[pdf["term_id"].isin(q_terms)]
-            res = _wand_slice(idf_map, ub_by_q[qid], avgdl, k)(sub)
+            res = _wand_slice(idf_map, avgdl, k)(sub)
             if len(res):
                 res.insert(0, "query_id", np.int64(qid))
                 outs.append(res)
@@ -217,7 +222,7 @@ def topk_batch(
 
     from pyspark.sql import Window as W
 
-    scored = pst.groupBy("slice").applyInPandas(run_slice, schema)
+    scored = pst.groupBy("seg", "slice").applyInPandas(run_slice, schema)
     w = W.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("doc_id").bitwiseXOR(F.lit(LONG_MIN)).asc()
     )
@@ -265,7 +270,14 @@ class _TermBlocks:
         self.idf = idf
         self.firsts_u = g["first_doc"].to_numpy(dtype=np.int64).view(np.uint64)
         self.lasts_u = g["last_doc"].to_numpy(dtype=np.int64).view(np.uint64)
-        self.bms = idf * g["block_max_tfn"].to_numpy(dtype=np.float64)
+        # avgdl-free stored bounds → block-max score under the CURRENT
+        # global avgdl: tfn is increasing in tf, decreasing in dl, so
+        # tfn(max_tf, min_dl) dominates every doc in the block
+        btf = g["block_max_tf"].to_numpy(dtype=np.float64)
+        bdl = g["block_min_dl"].to_numpy(dtype=np.float64)
+        self.bms = idf * btf * (K1 + 1.0) / (
+            btf + K1 * (1.0 - B + B * bdl / avgdl)
+        )
         self._raw = list(zip(g["doc_ids"].tolist(), g["tfs"].tolist(), g["dls"].tolist()))
         self._avgdl = avgdl
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -293,7 +305,7 @@ class _TermBlocks:
         return -1
 
 
-def _wand_slice(idf_map: dict[int, float], ub_map: dict[int, float], avgdl: float, k: int):
+def _wand_slice(idf_map: dict[int, float], avgdl: float, k: int):
     """Per-slice block-max WAND, vectorized block-at-a-time.
 
     Two-level evaluation (the SURVEY §2.9 design): level 1 works ONLY on

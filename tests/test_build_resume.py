@@ -101,7 +101,7 @@ def test_update_equals_full_rebuild(spark, docs500, single_shot, tmp_path_factor
     )
     d = str(tmp_path_factory.mktemp("up") / "idx")
     build_index(spark, base, d, num_partitions=P)
-    res = update_index(spark, delta, d, num_partitions=P)
+    res = update_index(spark, delta, d, num_partitions=P, strategy="compact")
     assert res.complete
     assert res.n_docs == spark.read.parquet(os.path.join(d_ss, "docs")).count()
     assert _lexicon(spark, d) == _lexicon(spark, d_ss)
@@ -114,6 +114,92 @@ def test_update_equals_full_rebuild(spark, docs500, single_shot, tmp_path_factor
         assert (a.doc_id.to_numpy() == b.doc_id.to_numpy()).all()
 
     # idempotency: re-sending the same delta stages 0 new docs
-    res2 = update_index(spark, delta, d, num_partitions=P)
+    res2 = update_index(spark, delta, d, num_partitions=P, strategy="compact")
     assert res2.n_docs == res.n_docs
     assert _lexicon(spark, d) == _lexicon(spark, d_ss)
+
+
+def _seg_files(d, table, seg):
+    p = os.path.join(d, table, f"seg={seg}")
+    return {
+        f: os.path.getmtime(os.path.join(p, f))
+        for f in os.listdir(p)
+        if f.endswith(".parquet")
+    }
+
+
+def test_update_segment_strategy(spark, docs500, single_shot, tmp_path_factory):
+    """segment strategy: delta-proportional phase B — existing segment files
+    are untouched (same set, same mtimes), a new doc-disjoint segment is
+    appended, and query results are IDENTICAL (ranks and scores) to the
+    full single-shot rebuild because idf/avgdl are merged globals and the
+    block bounds are avgdl-free."""
+    import numpy as np
+
+    d_ss, _ = single_shot
+    pdf = generate_documents(500)
+    base = spark.createDataFrame(pdf.iloc[:300], schema=DOCUMENTS_SPARK_SCHEMA).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    delta = spark.createDataFrame(pdf.iloc[200:], schema=DOCUMENTS_SPARK_SCHEMA).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    d = str(tmp_path_factory.mktemp("seg") / "idx")
+    build_index(spark, base, d, num_partitions=P)
+    before = _seg_files(d, "postings", 0)
+
+    res = update_index(spark, delta, d, num_partitions=P, strategy="segment")
+    assert res.complete
+    assert res.n_docs == spark.read.parquet(os.path.join(d_ss, "docs")).count()
+    # segment 0 untouched: same files, same mtimes (nothing rewritten)
+    assert _seg_files(d, "postings", 0) == before
+    # a new segment exists
+    assert os.path.isdir(os.path.join(d, "postings", "seg=1"))
+
+    # merged lexicon (sum over segments) equals the single-shot lexicon
+    def agg_lex(path):
+        rows = (
+            spark.read.parquet(os.path.join(path, "lexicon"))
+            .groupBy("term_id", "term")
+            .agg({"df": "sum", "cf": "sum"})
+            .withColumnRenamed("sum(df)", "df")
+            .withColumnRenamed("sum(cf)", "cf")
+            .collect()
+        )
+        return sorted((r.term_id, r.term, r.df, r.cf) for r in rows)
+
+    assert agg_lex(d) == agg_lex(d_ss)
+
+    # rank AND score identity vs the compacted single-shot index
+    for q in ["what was inflation in december 2023", "maize production county report"]:
+        a = topk(spark, d, q, 10).toPandas()
+        b = topk(spark, d_ss, q, 10).toPandas()
+        assert (a.doc_id.to_numpy() == b.doc_id.to_numpy()).all()
+        assert np.allclose(a.score.to_numpy(), b.score.to_numpy(), atol=1e-9)
+
+    # idempotency: re-sending the delta appends nothing
+    res2 = update_index(spark, delta, d, num_partitions=P, strategy="segment")
+    assert res2.n_docs == res.n_docs
+    assert not os.path.isdir(os.path.join(d, "postings", "seg=2"))
+
+
+def test_file_listing_chunked_build(spark, docs500, single_shot, tmp_path_factory):
+    """Path input + n_chunks: chunks are cut at the file listing (each pass
+    reads only its slice — lineage records per-chunk file counts that sum to
+    the total part-file count), and the result is identical to the
+    DataFrame-input single-shot build."""
+    d_ss, _ = single_shot
+    src = str(tmp_path_factory.mktemp("src") / "docs_parquet")
+    docs500.repartition(8).write.parquet(src)
+    n_parts = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_parts >= 4
+
+    d = str(tmp_path_factory.mktemp("fc") / "idx")
+    res = build_index(spark, src, d, num_partitions=P, n_chunks=4)
+    assert res.complete and res.chunks_processed == 4
+    lineage = spark.read.parquet(os.path.join(d, "_lineage")).collect()
+    per_chunk_files = {r.chunk: r.n_files for r in lineage}
+    assert sum(per_chunk_files.values()) == n_parts  # one total input scan
+    assert all(v > 0 for v in per_chunk_files.values())
+    assert _lexicon(spark, d) == _lexicon(spark, d_ss)
+    assert _postings(spark, d) == _postings(spark, d_ss)

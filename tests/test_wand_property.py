@@ -21,27 +21,20 @@ from statschat_ke_spark.index.query import K1, B, _wand_slice
 
 
 def _build_slice_pdf(term_postings: dict[int, list[tuple[int, int, int]]], avgdl: float):
-    """term_id -> [(doc_u, tf, dl)] sorted by doc_u → postings pdf + maps."""
+    """term_id -> [(doc_u, tf, dl)] sorted by doc_u → postings pdf + idf map."""
     rows = []
-    idf_map, ub_map = {}, {}
+    idf_map = {}
     n_docs = 1000
     for term_id, plist in term_postings.items():
         plist = sorted(plist)
         df = len(plist)
         idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
         idf_map[term_id] = idf
-        max_tfn = 0.0
         for b, start in enumerate(range(0, len(plist), BLOCK)):
             chunk = plist[start : start + BLOCK]
             docs = np.array([d for d, _, _ in chunk], dtype=np.uint64)
             tfs = np.array([t for _, t, _ in chunk], dtype=np.uint64)
             dls = np.array([l for _, _, l in chunk], dtype=np.uint64)
-            tfn = (
-                tfs.astype(np.float64)
-                * (K1 + 1.0)
-                / (tfs + K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl))
-            )
-            max_tfn = max(max_tfn, float(tfn.max()))
             rows.append(
                 {
                     "term_id": term_id,
@@ -51,13 +44,13 @@ def _build_slice_pdf(term_postings: dict[int, list[tuple[int, int, int]]], avgdl
                     "doc_ids": encode_doc_ids(docs),
                     "tfs": encode_tfs(tfs),
                     "dls": vbyte_encode(dls),
-                    "block_max_tfn": float(tfn.max()),
+                    "block_max_tf": int(tfs.max()),
+                    "block_min_dl": int(dls.min()),
                     "first_doc": int(docs[0].view(np.int64)),
                     "last_doc": int(docs[-1].view(np.int64)),
                 }
             )
-        ub_map[term_id] = idf * max_tfn
-    return pd.DataFrame(rows), idf_map, ub_map
+    return pd.DataFrame(rows), idf_map
 
 
 def _brute_force(term_postings, idf_map, avgdl, k):
@@ -87,9 +80,9 @@ def test_wand_matches_bruteforce_random():
                 for d in docs
             ]
             term_postings[1000 + t] = plist
-        pdf, idf_map, ub_map = _build_slice_pdf(term_postings, avgdl)
+        pdf, idf_map = _build_slice_pdf(term_postings, avgdl)
         for k in (1, 5, 20):
-            got = _wand_slice(idf_map, ub_map, avgdl, k)(pdf)
+            got = _wand_slice(idf_map, avgdl, k)(pdf)
             want = _brute_force(term_postings, idf_map, avgdl, k)
             got_ids = got.doc_id.to_numpy().view(np.uint64).tolist()
             assert got_ids == [d for d, _ in want], f"trial={trial} k={k}"
@@ -103,7 +96,7 @@ def test_wand_exact_ties():
     avgdl = 100.0
     plist = [(d, 3, 100) for d in [10, 5, 99, 42, 7]]
     term_postings = {1: plist, 2: [(d, 1, 100) for d, _, _ in plist]}
-    pdf, idf_map, ub_map = _build_slice_pdf(term_postings, avgdl)
-    got = _wand_slice(idf_map, ub_map, avgdl, 3)(pdf)
+    pdf, idf_map = _build_slice_pdf(term_postings, avgdl)
+    got = _wand_slice(idf_map, avgdl, 3)(pdf)
     want = _brute_force(term_postings, idf_map, avgdl, 3)
     assert got.doc_id.to_numpy().view(np.uint64).tolist() == [d for d, _ in want]
