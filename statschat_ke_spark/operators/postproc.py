@@ -25,12 +25,16 @@ def score_threshold(results: DataFrame, min_score: float) -> Column | DataFrame:
 def relative_score_filter(results: DataFrame, ratio: float = 1.5) -> DataFrame:
     """P6 — keep docs whose score is within ``ratio`` of the best
     (cloud_llm.py:185-196; distance ``<= 1.5×best`` becomes
-    ``>= best/ratio`` for similarity scores)."""
-    w = W.orderBy(F.desc("score"), F.asc("doc_id")).rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
+    ``>= best/ratio`` for similarity scores).
+
+    The global max comes from a scalar aggregate broadcast back onto the
+    relation — NOT an unpartitioned window, which would funnel the whole
+    relation through a single task when applied corpus-wide (the query path
+    applies this to collected ≤k rows, but the operator must also hold at
+    full-relation scale)."""
+    best = results.agg(F.max("score").alias("_best"))
     return (
-        results.withColumn("_best", F.max("score").over(w))
+        results.crossJoin(F.broadcast(best))
         .filter(F.col("score") >= F.col("_best") / F.lit(ratio))
         .drop("_best")
     )
@@ -67,12 +71,15 @@ def decay_rerank(results: DataFrame, latest_w: Column, now: Column) -> DataFrame
 
 def rank_and_head(results: DataFrame, k_contexts: int) -> DataFrame:
     """W3+W4 — rank enumeration + head-n context selection
-    (cloud_llm.py:185-196, main.toml:18 k_contexts=5)."""
+    (cloud_llm.py:185-196, main.toml:18 k_contexts=5).
+
+    Global top-k FIRST (``orderBy().limit(k)`` → TakeOrderedAndProject:
+    per-partition partial top-k, no total sort, no single-task funnel),
+    THEN the rank window over the surviving ≤k rows — the unpartitioned
+    row_number touches k rows, never the relation."""
+    topk = results.orderBy(F.desc("score"), F.asc("doc_id")).limit(k_contexts)
     w = W.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        results.withColumn("doc_num", F.row_number().over(w))
-        .filter(F.col("doc_num") <= k_contexts)
-    )
+    return topk.withColumn("doc_num", F.row_number().over(w))
 
 
 def round_scores(results: DataFrame, digits: int = 2) -> DataFrame:
