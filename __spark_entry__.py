@@ -68,7 +68,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from statschat_ke_spark.index.query import topk
 
     idx = _ensure_index(spark, "/root/testdata/sf0.001")
-    return topk(spark, idx, FLAGSHIP_QUERY, k=10, mode="wand")
+    return topk(spark, idx, FLAGSHIP_QUERY, k=10, mode="auto")
 
 
 # --------------------------------------------------------------------------
@@ -249,7 +249,7 @@ def _ft_bm25_topk(spark, sf_dir):
     from statschat_ke_spark.index.query import topk
 
     idx = _ensure_index(spark, sf_dir)
-    res = topk(spark, idx, FLAGSHIP_QUERY, k=10, mode="wand")
+    res = topk(spark, idx, FLAGSHIP_QUERY, k=10, mode="auto")
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -424,8 +424,10 @@ def _search_postproc(spark, sf_dir):
 
 def _mm_media_pipeline(spark, sf_dir):
     """Multimodal plumbing: documents → media table (binary payload + typed
-    meta) → stubbed decode → resize → per-image features. Rows-only check
-    (binary pipeline has no SQL equivalent); determinism tested in pytest."""
+    meta) → stubbed decode → resize → per-image features. The stub decode is
+    a DETERMINISTIC byte-tiling, so the whole binary pipeline (tile → NN
+    resize → intensity stats) is reproducible in SQL from the utf-8 bytes —
+    the oracle samples the same pixel positions via hex(encode(text))."""
     from statschat_ke_spark.functions.multimodal import (
         decode_images,
         image_features,
@@ -433,8 +435,8 @@ def _mm_media_pipeline(spark, sf_dir):
         resize_images,
     )
 
-    docs = _t(spark, sf_dir, "documents").limit(200)
-    media = media_from_documents(docs)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = media_from_documents(docs, id_col="doc_id")
     feats = image_features(resize_images(decode_images(media, num_partitions=8), 16, 16))
     return feats.select(
         "media_id",
@@ -873,6 +875,43 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "fuzzy_supersede_parts": _FUZZY_SUPERSEDE_SQL,
+        # the stub image decode is deterministic byte-tiling, so the whole
+        # binary pipeline (tile -> nearest-neighbour 16x16 resize -> mean/std)
+        # is reproducible from hex(encode(text)) byte sampling in pure SQL
+        "mm_media_pipeline": """
+            WITH img AS (
+                SELECT doc_id, length(text) AS len,
+                       octet_length(encode(text)) AS n,
+                       hex(encode(text)) AS hx
+                FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
+            ),
+            dims AS (
+                SELECT doc_id, n, hx,
+                       (len % 48 + 16) AS w, (len % 32 + 16) AS h
+                FROM img
+            ),
+            grid AS (
+                SELECT y, x, ch
+                FROM range(16) t1(y), range(16) t2(x), range(3) t3(ch)
+            ),
+            px AS (
+                SELECT d.doc_id,
+                       CASE WHEN d.n = 0 THEN 0
+                            ELSE ('0x' || substring(d.hx,
+                                  2 * (((((y * d.h) // 16) * d.w
+                                         + ((x * d.w) // 16)) * 3 + ch) % d.n)
+                                  + 1, 2))::INT
+                       END AS v
+                FROM dims d CROSS JOIN grid
+            ),
+            st AS (SELECT doc_id, avg(v::DOUBLE) AS m FROM px GROUP BY doc_id)
+            SELECT px.doc_id AS media_id,
+                   ROUND(avg(v::DOUBLE), 6) AS mean_intensity,
+                   ROUND(sqrt(avg((v::DOUBLE - st.m) * (v::DOUBLE - st.m))), 6)
+                     AS std_intensity
+            FROM px JOIN st USING (doc_id)
+            GROUP BY px.doc_id
+        """,
         "sentinel_scrape": f"""
             WITH base AS (
                 SELECT doc_id, doc_id % 3 AS m,

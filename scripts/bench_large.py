@@ -1,0 +1,203 @@
+"""Large-corpus benchmark — the scale evidence sf0.1 (2k docs) cannot give.
+
+Measures, over a deterministic ~300k-doc Zipf corpus (same generator as
+bench_scaling.py, materialized once and reused):
+
+1. index build wall + throughput at local[32]
+2. single-query BM25 latency, WAND vs exhaustive mode (block skipping only
+   matters when there are enough blocks to skip)
+3. batch retrieval: topk_batch over 16 queries in ONE job vs sequential
+4. incremental update: segment-append vs full compaction on a 5% delta —
+   the delta-proportionality evidence for update_index(strategy='segment')
+
+Writes BENCH_LARGE.json; recorded in BASELINE.md. Run exclusively (no
+concurrent Spark jobs) — the sandbox hypervisor pauses the VM at random, so
+interpret via the repeats/min fields, not single runs.
+
+Usage: python scripts/bench_large.py [--n-docs 300000] [--repeats 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+QUERIES = [
+    "index growth rate report",
+    "county population census survey",
+    "market price inflation quarter",
+    "household labour income",
+    "government revenue exports quarter",
+    "food fuel transport price",
+    "annual gdp growth percent",
+    "poverty income survey county",
+    "unemployment rate labour market",
+    "production exports imports trade",
+    "school education report annual",
+    "energy transport index month",
+    "health household survey data",
+    "census brief population county",
+    "statistics bulletin kenya report",
+    "water agriculture production report",
+]
+
+
+def _session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("statschat_bench_large")
+        .config("spark.sql.shuffle.partitions", str(cpus * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def _materialize_corpus(n_docs: int) -> str:
+    from statschat_ke_spark.corpus import spark_documents_distributed
+
+    input_dir = os.path.join(
+        tempfile.gettempdir(), f"statschat_scaling_corpus_{n_docs}"
+    )
+    if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        spark = _session(32)
+        spark.sparkContext.setLogLevel("ERROR")
+        t0 = time.time()
+        spark_documents_distributed(spark, n_docs, num_partitions=64).write.mode(
+            "overwrite"
+        ).parquet(input_dir)
+        print(f"corpus: {n_docs} docs materialized in {time.time() - t0:.1f}s")
+        spark.stop()
+    return input_dir
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "300000")))
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--out", type=str, default=os.path.join(REPO, "BENCH_LARGE.json"))
+    args = ap.parse_args()
+
+    from statschat_ke_spark.index.build import build_index, update_index
+    from statschat_ke_spark.index.query import topk, topk_batch
+
+    input_dir = _materialize_corpus(args.n_docs)
+    spark = _session(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    report: dict = {"n_docs_requested": args.n_docs, "cpus": args.cpus,
+                    "repeats": args.repeats}
+
+    # ---- 1. full index build (file-listing input path) ----
+    idx = os.path.join(tempfile.gettempdir(), "statschat_large_idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    res = build_index(spark, input_dir, idx, lang="en", num_partitions=args.cpus)
+    build_s = time.time() - t0
+    stats = json.load(open(os.path.join(idx, "stats.json")))
+    report["index_build"] = {
+        "wall_s": round(build_s, 3),
+        "n_docs": res.n_docs,
+        "n_terms": res.n_terms,
+        "n_postings": stats["n_postings"],
+        "docs_per_sec": round(res.n_docs / build_s, 1),
+        "postings_per_sec": round(stats["n_postings"] / build_s, 1),
+        "skew_ratio": round(stats["skew_ratio"], 3),
+    }
+    print(json.dumps({"index_build": report["index_build"]}), flush=True)
+
+    # ---- 2. single-query latency, wand vs exhaustive ----
+    for mode in ("wand", "exhaustive"):
+        walls = []
+        for rep in range(args.repeats):
+            t0 = time.time()
+            for q in QUERIES[:8]:
+                topk(spark, idx, q, k=10, mode=mode).collect()
+            walls.append((time.time() - t0) / 8)
+        report[f"query_{mode}"] = {
+            "per_query_s_best": round(min(walls), 3),
+            "per_query_s_all": [round(w, 3) for w in walls],
+        }
+        print(json.dumps({f"query_{mode}": report[f"query_{mode}"]}), flush=True)
+    report["wand_speedup_vs_exhaustive"] = round(
+        report["query_exhaustive"]["per_query_s_best"]
+        / report["query_wand"]["per_query_s_best"],
+        3,
+    )
+
+    # ---- 3. batch retrieval: one job for all queries ----
+    walls = []
+    for rep in range(args.repeats):
+        t0 = time.time()
+        out = topk_batch(spark, idx, {i: q for i, q in enumerate(QUERIES)}, k=10)
+        n = out.count()
+        walls.append(time.time() - t0)
+    report["topk_batch"] = {
+        "n_queries": len(QUERIES),
+        "wall_s_best": round(min(walls), 3),
+        "per_query_s": round(min(walls) / len(QUERIES), 3),
+        "rows": int(n),
+    }
+    print(json.dumps({"topk_batch": report["topk_batch"]}), flush=True)
+
+    # ---- 4. incremental update: segment vs compact on a 5% delta ----
+    from statschat_ke_spark.corpus import spark_documents_distributed
+
+    n_delta = max(1000, args.n_docs // 20)
+    # docs beyond the base corpus range: generate a disjoint tail
+    delta = spark_documents_distributed(
+        spark, args.n_docs + n_delta, num_partitions=16
+    ).filter(f"url > ''")  # no-op filter, keep lineage simple
+    # take only the tail ids not in the base corpus (urls are id-derived)
+    base_urls = spark.read.parquet(input_dir).select("url")
+    delta = delta.join(base_urls, "url", "left_anti")
+
+    delta_dir = os.path.join(tempfile.gettempdir(), "statschat_large_delta")
+    if not os.path.exists(os.path.join(delta_dir, "_SUCCESS")):
+        delta.write.mode("overwrite").parquet(delta_dir)
+    delta_df = spark.read.parquet(delta_dir)
+
+    for strategy in ("segment", "compact"):
+        idx2 = os.path.join(tempfile.gettempdir(), f"statschat_large_idx_{strategy}")
+        shutil.rmtree(idx2, ignore_errors=True)
+        shutil.copytree(idx, idx2)
+        t0 = time.time()
+        ur = update_index(spark, delta_df, idx2, num_partitions=args.cpus,
+                          strategy=strategy)
+        wall = time.time() - t0
+        report[f"update_{strategy}"] = {
+            "wall_s": round(wall, 3),
+            "n_docs_after": ur.n_docs,
+            "delta_docs": ur.n_docs - res.n_docs,
+        }
+        print(json.dumps({f"update_{strategy}": report[f"update_{strategy}"]}),
+              flush=True)
+    report["segment_speedup_vs_compact"] = round(
+        report["update_compact"]["wall_s"] / report["update_segment"]["wall_s"], 3
+    )
+    report["delta_fraction"] = round(
+        report["update_segment"]["delta_docs"] / max(1, res.n_docs), 4
+    )
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -293,16 +293,22 @@ def audio_features(media: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def media_from_documents(docs: DataFrame) -> DataFrame:
+def media_from_documents(docs: DataFrame, id_col: str | None = None) -> DataFrame:
     """Derive a deterministic media table from any documents table: payload =
     utf-8 text bytes, kind cycles image/audio/video, meta derived from
-    doc stats. Lets the media pipeline run over the driver's sf tables."""
+    doc stats. Lets the media pipeline run over the driver's sf tables.
+
+    ``id_col``: use an existing column as media_id (ANSI-SQL-expressible —
+    the contract oracle needs it); default derives xxhash64(text)."""
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.pmod(F.col("media_id"), F.lit(3)) + 1).cast("int"),
     )
+    media_id = (
+        F.col(id_col).cast("long") if id_col else F.xxhash64("text")
+    )
     base = docs.select(
-        F.xxhash64("text").alias("media_id"),
+        media_id.alias("media_id"),
         F.coalesce(F.col("url"), F.col("doc_id").cast("string")).alias("url")
         if "url" in docs.columns
         else F.col("doc_id").cast("string").alias("url"),

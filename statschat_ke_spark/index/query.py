@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from statschat_ke_spark.functions.hashing import xxhash64_str
 from statschat_ke_spark.functions.tokenize import tokenize
-from statschat_ke_spark.index.codec import decode_doc_ids, decode_tfs, vbyte_decode
+from statschat_ke_spark.index.codec import BLOCK, decode_doc_ids, decode_tfs, vbyte_decode
 
 K1 = 1.2
 B = 0.75
@@ -91,14 +91,24 @@ def topk(
     query_text: str,
     k: int = 10,
     *,
-    mode: str = "wand",
+    mode: str = "auto",
     with_url: bool = False,
 ) -> DataFrame:
-    """Top-k (doc_id, score[, url, rank]) for a free-text query."""
+    """Top-k (doc_id, score[, url, rank]) for a free-text query.
+
+    ``mode``: ``wand`` (block-max skipping), ``exhaustive`` (decode
+    everything), or ``auto`` — picks exhaustive when the query's Σdf (known
+    from the lexicon probe, no extra job) is small enough that decoding
+    everything is cheaper than pruning machinery, wand when posting volume
+    is what dominates. Both modes are rank-identical (property-tested).
+    """
     terminfo = _query_terms(spark, index_dir, query_text)
     if not terminfo:
         res = _empty_result(spark)
     else:
+        if mode == "auto":
+            total_df = sum(v["df"] for v in terminfo.values())
+            mode = "exhaustive" if total_df < 2_000_000 else "wand"
         ids = list(terminfo.keys())
         stats = load_stats(index_dir)
         avgdl = float(stats["avgdl"])
@@ -113,10 +123,19 @@ def topk(
             scored = pst.mapInPandas(_exhaustive_scorer(idf_map, avgdl), RESULT_SCHEMA)
             res = scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
         elif mode == "wand":
-            # group by (seg, slice): segments are doc-disjoint and slices
-            # partition docs within a segment, so local top-k per group +
-            # global TakeOrdered is exact
-            res = pst.groupBy("seg", "slice").applyInPandas(
+            # Adaptive slice coarsening: every WAND group pays ~k decoded
+            # blocks before its local θ converges, so 64 fine slices × k
+            # forfeit most pruning when posting volume is modest. Estimated
+            # block count (Σdf from the lexicon probe — no extra job) sizes
+            # the group count: few groups (global-ish θ, max pruning) for
+            # small volume, up to 4×parallelism for big scans. Doc ranges of
+            # distinct slices are disjoint, so ANY slice partition keeps
+            # per-group local top-k + global TakeOrdered exact.
+            total_df = sum(v["df"] for v in terminfo.values())
+            par = spark.sparkContext.defaultParallelism
+            n_groups = int(max(1, min(4 * par, (total_df // BLOCK) // 512 + 1)))
+            grouped = pst.withColumn("wg", F.pmod(F.col("slice"), F.lit(n_groups)))
+            res = grouped.groupBy("seg", "wg").applyInPandas(
                 _wand_slice(idf_map, avgdl, k), RESULT_SCHEMA
             )
         else:
@@ -177,7 +196,7 @@ def topk_batch(
             .collect()
         ):
             idf = math.log((n - r.df + 0.5) / (r.df + 0.5) + 1.0)
-            lex[r.term_id] = {"idf": idf}
+            lex[r.term_id] = {"idf": idf, "df": int(r.df)}
     per_q: dict[int, dict[int, dict]] = {
         qid: {t: lex[t] for t in ids if t in lex} for qid, ids in ids_by_q.items()
     }
@@ -222,7 +241,13 @@ def topk_batch(
 
     from pyspark.sql import Window as W
 
-    scored = pst.groupBy("seg", "slice").applyInPandas(run_slice, schema)
+    # same adaptive coarsening as topk (see there): group count sized from
+    # the union Σdf so per-group θ converges with little decode overhead
+    total_df = sum(lex[t]["df"] for t in all_ids)
+    par = spark.sparkContext.defaultParallelism
+    n_groups = int(max(1, min(4 * par, (total_df // BLOCK) // 512 + 1)))
+    grouped = pst.withColumn("wg", F.pmod(F.col("slice"), F.lit(n_groups)))
+    scored = grouped.groupBy("seg", "wg").applyInPandas(run_slice, schema)
     w = W.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("doc_id").bitwiseXOR(F.lit(LONG_MIN)).asc()
     )
@@ -268,6 +293,10 @@ class _TermBlocks:
 
     def __init__(self, idf: float, g: pd.DataFrame, avgdl: float):
         self.idf = idf
+        # a group may span several slices; slices are doc-range-contiguous
+        # (slice = top bits of doc_u), so (slice, block_id) order IS global
+        # doc order for this term
+        g = g.sort_values(["slice", "block_id"])
         self.firsts_u = g["first_doc"].to_numpy(dtype=np.int64).view(np.uint64)
         self.lasts_u = g["last_doc"].to_numpy(dtype=np.int64).view(np.uint64)
         # avgdl-free stored bounds → block-max score under the CURRENT
@@ -327,7 +356,6 @@ def _wand_slice(idf_map: dict[int, float], avgdl: float, k: int):
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         terms: list[_TermBlocks] = []
         for term_id, g in pdf.groupby("term_id", sort=False):
-            g = g.sort_values("block_id")
             terms.append(_TermBlocks(idf_map[int(term_id)], g, avgdl))
         if not terms:
             return pd.DataFrame(
@@ -352,16 +380,47 @@ def _wand_slice(idf_map: dict[int, float], avgdl: float, k: int):
         top_scores = np.empty(0, dtype=np.float64)
         theta = -math.inf
 
-        for i in range(len(bounds)):
+        # Process intervals in DESCENDING upper-bound order: θ reaches its
+        # final value after ~k high-bound intervals, and the first interval
+        # with ub < θ ends the loop (argsort is desc, so every later one is
+        # smaller too). Exactness is order-independent — a skipped interval
+        # has every true score ≤ ub < θ ≤ θ_final, strictly below the kth
+        # result even under the doc_id tie-break.
+        #
+        # Inside a surviving interval, the WAND essential/non-essential
+        # split: sort covering blocks by block-max ascending and cut off the
+        # largest prefix N with Σ_N bm < θ — a doc containing ONLY N-terms
+        # cannot reach θ, so candidates are gathered (and decoded) from the
+        # essential terms alone. Non-essential blocks are decoded lazily,
+        # only when a candidate's optimistic bound (essential partials +
+        # Σ_N bm) still clears θ. A sparse term's block spanning a huge doc
+        # range therefore no longer forces decoding every dense block it
+        # overlaps — dense-term decode cost is ∝ candidates, not range.
+        for i in np.argsort(-ub, kind="stable"):
             if ub[i] < theta:
-                continue
+                break
             lo = bounds[i]
             hi = bounds[i + 1] if i + 1 < len(bounds) else None  # None = +inf
-            cand_docs, cand_scores = [], []
+            cov: list[tuple[_TermBlocks, int, float]] = []
             for t in terms:
                 j = t.covering_block(lo)
-                if j < 0:
-                    continue
+                if j >= 0:
+                    cov.append((t, j, float(t.bms[j])))
+            if not cov:
+                continue
+            if theta == -math.inf or len(cov) == 1:
+                ness: list[tuple[_TermBlocks, int, float]] = []
+                ess = cov
+            else:
+                cov.sort(key=lambda x: x[2])
+                acc, p = 0.0, 0
+                while p < len(cov) and acc + cov[p][2] < theta:
+                    acc += cov[p][2]
+                    p += 1
+                ness, ess = cov[:p], cov[p:]
+            nbm = sum(x[2] for x in ness)
+            cand_docs, cand_scores = [], []
+            for t, j, _bm in ess:
                 docs_u, scores = t.partials(j)
                 a = int(np.searchsorted(docs_u, lo))
                 b = int(np.searchsorted(docs_u, hi)) if hi is not None else len(docs_u)
@@ -378,6 +437,18 @@ def _wand_slice(idf_map: dict[int, float], avgdl: float, k: int):
                 starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
                 d = d[starts]
                 s = np.add.reduceat(s, starts)
+            if ness:
+                # keep only candidates whose optimistic bound clears θ,
+                # then resolve their exact non-essential contributions
+                keep = s + nbm >= theta
+                if not keep.any():
+                    continue
+                d, s = d[keep], s[keep]
+                for t, j, _bm in ness:
+                    docs_u, scores = t.partials(j)
+                    pos = np.searchsorted(docs_u, d)
+                    ok = (pos < len(docs_u)) & (docs_u[np.minimum(pos, len(docs_u) - 1)] == d)
+                    s = s + np.where(ok, scores[np.minimum(pos, len(docs_u) - 1)], 0.0)
             # merge into running top-k: (-score, doc_u) lexicographic
             md = np.concatenate([top_docs, d])
             ms = np.concatenate([top_scores, s])
