@@ -90,6 +90,9 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_SCALE_N", "300000")))
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--skip-build", action="store_true",
+                    help="reuse an existing /tmp index (same format) and "
+                         "merge new query numbers into the existing report")
     ap.add_argument("--out", type=str, default=os.path.join(REPO, "BENCH_LARGE.json"))
     args = ap.parse_args()
 
@@ -104,24 +107,35 @@ def main() -> None:
 
     # ---- 1. full index build (file-listing input path) ----
     idx = os.path.join(tempfile.gettempdir(), "statschat_large_idx")
-    shutil.rmtree(idx, ignore_errors=True)
-    t0 = time.time()
-    res = build_index(spark, input_dir, idx, lang="en", num_partitions=args.cpus)
-    build_s = time.time() - t0
-    stats = json.load(open(os.path.join(idx, "stats.json")))
-    report["index_build"] = {
-        "wall_s": round(build_s, 3),
-        "n_docs": res.n_docs,
-        "n_terms": res.n_terms,
-        "n_postings": stats["n_postings"],
-        "docs_per_sec": round(res.n_docs / build_s, 1),
-        "postings_per_sec": round(stats["n_postings"] / build_s, 1),
-        "skew_ratio": round(stats["skew_ratio"], 3),
-    }
-    print(json.dumps({"index_build": report["index_build"]}), flush=True)
+    if args.skip_build and os.path.exists(os.path.join(idx, "_SUCCESS.json")):
+        if os.path.exists(args.out):
+            report = {**json.load(open(args.out)), **report}
 
-    # ---- 2. single-query latency, wand vs exhaustive ----
-    for mode in ("wand", "exhaustive"):
+        class _Res:
+            pass
+
+        res = _Res()
+        stats = json.load(open(os.path.join(idx, "stats.json")))
+        res.n_docs, res.n_terms = stats["n_docs"], stats["n_terms"]
+    else:
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.time()
+        res = build_index(spark, input_dir, idx, lang="en", num_partitions=args.cpus)
+        build_s = time.time() - t0
+        stats = json.load(open(os.path.join(idx, "stats.json")))
+        report["index_build"] = {
+            "wall_s": round(build_s, 3),
+            "n_docs": res.n_docs,
+            "n_terms": res.n_terms,
+            "n_postings": stats["n_postings"],
+            "docs_per_sec": round(res.n_docs / build_s, 1),
+            "postings_per_sec": round(stats["n_postings"] / build_s, 1),
+            "skew_ratio": round(stats["skew_ratio"], 3),
+        }
+        print(json.dumps({"index_build": report["index_build"]}), flush=True)
+
+    # ---- 2. single-query latency: auto (default), wand, exhaustive ----
+    for mode in ("auto", "wand", "exhaustive"):
         walls = []
         for rep in range(args.repeats):
             t0 = time.time()
@@ -138,6 +152,29 @@ def main() -> None:
         / report["query_wand"]["per_query_s_best"],
         3,
     )
+
+    # ---- 2b. selective queries (rare+common terms) — the shape where
+    # block-max pruning actually skips (homogeneous all-common queries
+    # decode everything by nature; mode=auto picks exhaustive for them) ----
+    SELECTIVE = [
+        "the w00123",
+        "of the and county w09000",
+        "report w02001 w00042",
+        "county statistics w04242",
+    ]
+    for mode in ("wand", "exhaustive"):
+        walls = []
+        for rep in range(args.repeats):
+            t0 = time.time()
+            for q in SELECTIVE:
+                topk(spark, idx, q, k=10, mode=mode).collect()
+            walls.append((time.time() - t0) / len(SELECTIVE))
+        report[f"selective_{mode}"] = {
+            "per_query_s_best": round(min(walls), 3),
+            "per_query_s_all": [round(w, 3) for w in walls],
+        }
+        print(json.dumps({f"selective_{mode}": report[f"selective_{mode}"]}),
+              flush=True)
 
     # ---- 3. batch retrieval: one job for all queries ----
     walls = []
