@@ -490,26 +490,45 @@ def update_index(
     if strategy != "segment":
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    # ---- segment append: delta-proportional phase B ----
+    result = append_segment(spark, index_dir, next_chunk, num_partitions=P)
+    result.chunks_skipped = len(done)
+    result.wall_s = time.time() - t0
+    return result
+
+
+def _existing_segments(index_dir: str) -> list[int]:
+    p = os.path.join(index_dir, "postings")
+    if not os.path.isdir(p):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(p) if d.startswith("seg=")
+    )
+
+
+def append_segment(
+    spark: SparkSession,
+    index_dir: str,
+    chunk: int,
+    *,
+    num_partitions: int | None = None,
+) -> BuildResult:
+    """Pack ALREADY-STAGED chunk N into index segment N and merge the global
+    stats incrementally — the delta-proportional phase-B unit shared by
+    ``update_index(strategy='segment')`` and the streaming drain. Requires a
+    completed prior merge (stats.json); idempotent: an already-appended or
+    empty chunk just refreshes the success marker."""
+    t0 = time.time()
+    P = num_partitions or spark.sparkContext.defaultParallelism
     timings: dict[str, float] = {}
     with open(os.path.join(index_dir, "stats.json")) as f:
         old = json.load(f)
-    staged_k = spark.read.parquet(
-        os.path.join(index_dir, "staged", f"chunk={next_chunk}")
-    )
-    srow = staged_k.agg(
-        F.count("*").alias("n"), F.sum("doclen").alias("dl_sum")
-    ).collect()[0]
-    n_delta, dl_delta = int(srow.n), float(srow.dl_sum or 0.0)
-    if n_delta == 0:
-        # idempotent re-send (everything anti-joined away): no segment to
-        # pack; restore the success marker with the unchanged totals
-        segments = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(os.path.join(index_dir, "postings"))
-            if d.startswith("seg=")
+    n_chunks = len(staged_chunks(spark, index_dir))
+
+    def _unchanged() -> BuildResult:
+        _write_stats_and_success(
+            index_dir, old, n_chunks, _existing_segments(index_dir),
+            old.get("covered_chunks", []),
         )
-        _write_stats_and_success(index_dir, old, next_chunk + 1, segments)
         return BuildResult(
             index_dir=index_dir,
             n_docs=int(old["n_docs"]),
@@ -517,19 +536,27 @@ def update_index(
             n_terms=int(old["n_terms"]),
             n_posting_rows=int(old.get("n_posting_rows", 0)),
             wall_s=time.time() - t0,
-            chunks_processed=1,
-            chunks_skipped=len(done),
+            chunks_processed=0,
+            chunks_skipped=0,
         )
+
+    if chunk in set(old.get("covered_chunks", [])):
+        return _unchanged()  # replayed drain / already-compacted chunk
+    staged_k = spark.read.parquet(
+        os.path.join(index_dir, "staged", f"chunk={chunk}")
+    )
+    srow = staged_k.agg(
+        F.count("*").alias("n"), F.sum("doclen").alias("dl_sum")
+    ).collect()[0]
+    n_delta, dl_delta = int(srow.n), float(srow.dl_sum or 0.0)
+    if n_delta == 0:
+        # idempotent re-send (everything anti-joined away): nothing to pack
+        return _unchanged()
     est_pairs = max(1.0, dl_delta * 0.7)
     P_pack = max(4, min(P, int(est_pairs // 1_500_000) + 1))
     P_docs = max(1, min(P, n_delta // 2_000_000 + 1))
     seg_stats = _build_segment(
-        spark,
-        staged_k,
-        index_dir,
-        next_chunk,
-        P_pack=P_pack,
-        P_docs=P_docs,
+        spark, staged_k, index_dir, chunk, P_pack=P_pack, P_docs=P_docs,
         timings=timings,
     )
 
@@ -545,11 +572,6 @@ def update_index(
         .count()
     )
     wall = time.time() - t0
-    segments = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(os.path.join(index_dir, "postings"))
-        if d.startswith("seg=")
-    )
     stats = {
         **old,
         "n_docs": n_docs,
@@ -560,9 +582,13 @@ def update_index(
         "postings_per_sec": (seg_stats["postings"] / wall) if wall > 0 else 0.0,
         "build_wall_s": wall,
         "phase_timings_s": {k: round(v, 3) for k, v in timings.items()},
-        "last_delta": {"segment": next_chunk, "n_docs": n_delta},
+        "last_delta": {"segment": chunk, "n_docs": n_delta},
+        "covered_chunks": sorted(set(old.get("covered_chunks", [])) | {chunk}),
     }
-    _write_stats_and_success(index_dir, stats, next_chunk + 1, segments)
+    _write_stats_and_success(
+        index_dir, stats, n_chunks, _existing_segments(index_dir),
+        stats["covered_chunks"],
+    )
     return BuildResult(
         index_dir=index_dir,
         n_docs=n_docs,
@@ -571,7 +597,7 @@ def update_index(
         n_posting_rows=stats["n_posting_rows"],
         wall_s=wall,
         chunks_processed=1,
-        chunks_skipped=len(done),
+        chunks_skipped=0,
     )
 
 
@@ -776,7 +802,12 @@ def _clear_dir(path: str) -> None:
         shutil.rmtree(path)
 
 
-def _write_stats_and_success(index_dir: str, stats: dict, n_chunks, segments) -> None:
+def _write_stats_and_success(
+    index_dir: str, stats: dict, n_chunks, segments, covered_chunks
+) -> None:
+    """``covered_chunks`` records which staged chunks the current segments
+    contain — a compaction folds MANY chunks into seg=0, so `staged minus
+    segments` alone would wrongly re-append compacted chunks."""
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=2)
     with open(os.path.join(index_dir, "_SUCCESS.json"), "w") as f:
@@ -785,10 +816,24 @@ def _write_stats_and_success(index_dir: str, stats: dict, n_chunks, segments) ->
                 "complete": True,
                 "chunks": n_chunks,
                 "segments": segments,
+                "covered_chunks": sorted(covered_chunks),
                 "format": INDEX_FORMAT,
             },
             f,
         )
+
+
+def covered_chunks(index_dir: str) -> set[int]:
+    """Staged chunks already folded into index segments. Read from
+    stats.json (which survives the pre-staging _SUCCESS invalidation)."""
+    p = os.path.join(index_dir, "stats.json")
+    if not os.path.exists(p):
+        return set()
+    try:
+        with open(p) as f:
+            return set(json.load(f).get("covered_chunks", []))
+    except Exception:
+        return set()
 
 
 def merge_index(
@@ -806,10 +851,11 @@ def merge_index(
     tp = time.time()
     P = num_partitions or spark.sparkContext.defaultParallelism
     staged = spark.read.parquet(os.path.join(index_dir, "staged"))
+    all_chunks = staged_chunks(spark, index_dir)
     if n_chunks is None:
         # keep the _SUCCESS marker truthful when invoked standalone (e.g.
         # after a streaming drain): count the actually-staged chunks
-        n_chunks = len(staged_chunks(spark, index_dir))
+        n_chunks = len(all_chunks)
 
     stats_row = staged.agg(
         F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl")
@@ -853,8 +899,11 @@ def merge_index(
         ),
         "build_wall_s": wall,
         "phase_timings_s": {k: round(v, 3) for k, v in timings.items()},
+        "covered_chunks": sorted(all_chunks),
     }
-    _write_stats_and_success(index_dir, stats, n_chunks, segments=[0])
+    _write_stats_and_success(
+        index_dir, stats, n_chunks, segments=[0], covered_chunks=all_chunks
+    )
 
     return BuildResult(
         index_dir=index_dir,

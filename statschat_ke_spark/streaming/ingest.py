@@ -32,7 +32,10 @@ from statschat_ke_spark.index.build import (
     BuildResult,
     _prepare_base,
     _stage_chunk,
+    append_segment,
+    covered_chunks,
     merge_index,
+    staged_chunks,
 )
 
 STREAM_CHUNK_BASE = 1_000_000
@@ -48,6 +51,7 @@ def ingest_stream(
     schema: str = CONTRACT_SCHEMA,
     max_files_per_trigger: int | None = None,
     merge: bool = True,
+    strategy: str = "segment",
 ) -> BuildResult | None:
     """Drain the landing zone into the index with Trigger.AvailableNow.
 
@@ -55,6 +59,12 @@ def ingest_stream(
     drains are batched before one merge). Repeated invocation picks up only
     files not yet recorded in the stream checkpoint — the streaming analog of
     update_index's anti-join.
+
+    ``strategy='segment'`` (default): every drained micro-batch chunk is
+    appended as its own doc-disjoint index segment (``append_segment``), so
+    continuous ingest cost stays ∝ new data — the shape a real trigger
+    interval needs. Falls back to full compaction when no completed merge
+    exists yet. ``strategy='compact'``: full phase-B re-merge per drain.
     """
     os.makedirs(index_dir, exist_ok=True)
     reader = spark.readStream.schema(schema)
@@ -78,4 +88,30 @@ def ingest_stream(
 
     if not merge:
         return None
-    return merge_index(spark, index_dir, num_partitions=num_partitions)
+    has_base = os.path.exists(os.path.join(index_dir, "stats.json"))
+    if strategy == "compact" or not has_base:
+        return merge_index(spark, index_dir, num_partitions=num_partitions)
+    if strategy != "segment":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    staged = staged_chunks(spark, index_dir)
+    pending = sorted(staged - covered_chunks(index_dir))
+    if not pending:
+        # nothing new landed: report the unchanged index
+        import json
+
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            s = json.load(f)
+        return BuildResult(
+            index_dir=index_dir,
+            n_docs=int(s["n_docs"]),
+            avgdl=float(s["avgdl"]),
+            n_terms=int(s["n_terms"]),
+            n_posting_rows=int(s.get("n_posting_rows", 0)),
+            wall_s=0.0,
+            chunks_processed=0,
+            chunks_skipped=len(staged),
+        )
+    result = None
+    for chunk in pending:
+        result = append_segment(spark, index_dir, chunk, num_partitions=num_partitions)
+    return result

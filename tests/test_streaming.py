@@ -65,13 +65,53 @@ def test_stream_ingest_incremental(spark, parts, tmp_path):
     assert _lexicon(spark, idx_stream) == _lexicon(spark, idx_batch_a)
     assert _postings(spark, idx_stream) == _postings(spark, idx_batch_a)
 
-    # drop 2 → drain picks up ONLY the new files → index == batch over all
+    # drop 2, compact strategy → drain picks up ONLY the new files and the
+    # full re-merge is byte-identical to a batch build over everything
     b.write.mode("append").parquet(landing)
-    res2 = ingest_stream(spark, landing, idx_stream, num_partitions=P)
+    res2 = ingest_stream(
+        spark, landing, idx_stream, num_partitions=P, strategy="compact"
+    )
     build_index(spark, full, idx_batch_full, num_partitions=P)
     assert res2.n_docs == full.filter("lang = 'en'").count()
     assert _lexicon(spark, idx_stream) == _lexicon(spark, idx_batch_full)
     assert _postings(spark, idx_stream) == _postings(spark, idx_batch_full)
+
+
+def test_stream_segment_append(spark, parts, tmp_path):
+    """Default drain strategy appends each drained chunk as its own index
+    segment (delta-proportional): query results match the full batch build
+    exactly, and the first drain's segment files are never rewritten."""
+    import numpy as np
+
+    from statschat_ke_spark.index.query import topk
+
+    full, a, b = parts
+    landing = str(tmp_path / "landing_seg")
+    idx = str(tmp_path / "idx_seg")
+    idx_full = str(tmp_path / "idx_seg_full")
+
+    a.write.mode("append").parquet(landing)
+    ingest_stream(spark, landing, idx, num_partitions=P)
+    seg0 = os.path.join(idx, "postings", "seg=0")
+    before = {f: os.path.getmtime(os.path.join(seg0, f)) for f in os.listdir(seg0)}
+
+    b.write.mode("append").parquet(landing)
+    res = ingest_stream(spark, landing, idx, num_partitions=P)
+    assert res.n_docs == full.filter("lang = 'en'").count()
+    assert {f: os.path.getmtime(os.path.join(seg0, f)) for f in os.listdir(seg0)} == before
+    segs = [d for d in os.listdir(os.path.join(idx, "postings")) if d.startswith("seg=")]
+    assert len(segs) == 2
+
+    build_index(spark, full, idx_full, num_partitions=P)
+    for q in ["inflation county report", "maize production county report"]:
+        x = topk(spark, idx, q, 10).toPandas()
+        y = topk(spark, idx_full, q, 10).toPandas()
+        assert (x.doc_id.to_numpy() == y.doc_id.to_numpy()).all()
+        assert np.allclose(x.score.to_numpy(), y.score.to_numpy(), atol=1e-9)
+
+    # replayed drain with nothing new: unchanged
+    res2 = ingest_stream(spark, landing, idx, num_partitions=P)
+    assert res2.n_docs == res.n_docs and res2.chunks_processed == 0
 
 
 def test_stream_rerun_noop(spark, parts, tmp_path):
