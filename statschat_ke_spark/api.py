@@ -1,0 +1,114 @@
+"""User-facing query API — the reference's ``Inquirer.make_query`` surface
+(/root/reference/statschat/generative/cloud_llm.py:235-334) composed from the
+engine's operators, minus the LLM answer step (out of scope by design,
+SURVEY.md §2.8: the QA chain is a post-retrieval driver hook).
+
+Flow (reference step → here):
+1. empty/invalid-question guard (main_api_cloud.py:97-99 → P10; html escape
+   F15 is applied to the echoed question)
+2. recency weight from the question (latest_flag_helpers.py:17-28 → F7)
+3. top-k retrieval (FAISS similarity_search → block-max WAND BM25, J5/W1)
+4. metadata join (docstore lookup → broadcast join on doc_id)
+5. score threshold (P5) → first-wins dedup on (title, date) (A2) → logistic
+   time-decay rerank (W2/F5, injected ``now``) → relative-score filter (P6)
+   → rank + head-n contexts (W3/W4) → display rounding (P11)
+6. query-term highlighting over the context text (F8; the reference
+   highlights LLM-chosen phrases — without an LLM we highlight the query's
+   own terms, a documented divergence)
+
+``metadata`` is an optional DataFrame (doc_id, title, date[, text]); when
+absent, steps needing it degrade gracefully (no dedup-by-title, no decay).
+Everything through step 5 runs on ≤k collected rows — the reference operates
+on ≤k dicts at the same point (cloud_llm.py:156-299).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from statschat_ke_spark.functions.refops import (
+    highlight_udf,
+    html_escape,
+    latest_weight,
+)
+from statschat_ke_spark.index.query import topk
+from statschat_ke_spark.operators.postproc import search_pipeline
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    question: str,
+    *,
+    k: int = 10,
+    k_contexts: int = 5,
+    min_score: float = 0.0,
+    latest_max: float = 2.0,
+    now: str | None = None,
+    metadata: DataFrame | None = None,
+    highlight: bool = True,
+    mode: str = "auto",
+) -> dict:
+    """Answer one question: returns the reference's response shape
+    (main_api_cloud.py:111-120) minus the LLM answer —
+    ``{question, latest_weight, references: [...]}``."""
+    q = (question or "").strip()
+    if not q:
+        # P10 — the reference 422s on empty questions
+        return {"question": "", "latest_weight": None, "references": []}
+
+    hits = topk(spark, index_dir, q, k=k, mode=mode, with_url=True)
+
+    lw_row = (
+        spark.range(1)
+        .select(
+            latest_weight(F.lit(q), latest_max).alias("lw"),
+            html_escape(F.lit(q)).alias("q_esc"),
+        )
+        .first()
+    )
+    lw, q_escaped = float(lw_row.lw), str(lw_row.q_esc)
+
+    if metadata is not None:
+        hits = hits.join(F.broadcast(metadata), "doc_id", "left")
+        have = set(metadata.columns)
+    else:
+        have = set()
+
+    if "title" in have and "date" in have:
+        shaped = hits.select(
+            "doc_id",
+            F.coalesce(F.col("title"), F.col("url")).alias("title"),
+            F.col("date"),
+            "score",
+            "url",
+            *(["text"] if "text" in have else []),
+        )
+        out = search_pipeline(
+            shaped,
+            min_score=min_score,
+            latest_weight=lw,
+            now=F.lit(now).cast("date") if now else F.current_date(),
+            k_contexts=k_contexts,
+        )
+    else:
+        # degraded mode: threshold + rank only (no title/date ops possible)
+        from pyspark.sql import Window as W
+
+        out = (
+            hits.filter(F.col("score") >= min_score)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k_contexts)
+            .withColumn(
+                "doc_num",
+                F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id"))),
+            )
+            .withColumn("score", F.round("score", 2))
+        )
+
+    if highlight and "text" in out.columns:
+        phrases = F.array(*[F.lit(t) for t in q.split()])
+        out = out.withColumn("text", highlight_udf(F.col("text"), phrases))
+
+    refs = [r.asDict() for r in out.collect()]
+    return {"question": q_escaped, "latest_weight": lw, "references": refs}

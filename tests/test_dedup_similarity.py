@@ -232,3 +232,78 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     # boilerplate-only pairs are not emitted (their shared shingles are all hot)
     boiler_pairs = [k for k in got if k[0] < 40 and k[1] < 40]
     assert boiler_pairs == []
+
+
+def test_minhash_mersenne_vectorization_parity():
+    """The uint64 Mersenne-fold mulmod must equal exact python-int
+    (a*x+b) mod p for the full signed-int64 input domain (property test of
+    the round-2 vectorization — no object-dtype math in the hot path)."""
+    import numpy as np
+
+    from statschat_ke_spark.operators.dedup import (
+        MERSENNE,
+        _fold_mod_p,
+        _minhash_params,
+        _mulmod_p,
+    )
+
+    rng = np.random.default_rng(123)
+    a, b = _minhash_params(32)
+    # adversarial + random inputs: extremes, ±1, zero, random full-range
+    edge = np.array(
+        [0, 1, -1, 2**62, -(2**62), 2**63 - 1, -(2**63), MERSENNE, MERSENNE + 1],
+        dtype=np.int64,
+    )
+    x = np.concatenate([edge, rng.integers(-(2**63), 2**63 - 1, 4000, dtype=np.int64)])
+    exact = (
+        x.astype(object)[None, :] * a[:, None].astype(object)
+        + b[:, None].astype(object)
+    ) % MERSENNE
+    P = np.uint64(MERSENNE)
+    xm = _fold_mod_p(x.view(np.uint64))
+    xm = np.where(x < 0, (xm + P - np.uint64(8)) % P, xm)
+    got = _fold_mod_p(
+        _mulmod_p(a.astype(np.uint64)[:, None], xm[None, :])
+        + b.astype(np.uint64)[:, None]
+    )
+    assert (got.astype(object) == exact).all()
+
+
+def test_simhash_vectorization_parity(spark):
+    """Batch-vectorized simhash == the definitional per-token loop."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+
+    from statschat_ke_spark.functions.hashing import xxh64
+    from statschat_ke_spark.operators.dedup import simhash
+
+    def reference_simhash(s: str) -> int:
+        c = Counter(re.findall(r"[a-z0-9]+", (s or "").lower()))
+        if not c:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for tok, w in c.items():
+            h = np.uint64(xxh64(tok.encode()))
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), w, -w)
+        v = 0
+        for j in range(64):
+            if acc[j] > 0:
+                v |= 1 << j
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the the the repeated repeated tokens",
+        "",
+        "UPPER Case MiXeD 123 numbers 456",
+        "unicode naïve café text stripped to ascii tokens",
+        "a",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r.id: r.simhash for r in simhash(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == reference_simhash(t), t
