@@ -8,8 +8,12 @@ From-scratch re-expression of the capabilities of KNBS-StatsChat/statschat-ke
 - ``functions.tokenize`` frozen tokenizer spec (rank-identity contract)
 - ``functions.hashing``  pure-Python XXH64 matching Spark's xxhash64
 - ``index.build``        distributed inverted-index build (sort-based agg,
-                         salted term-range merge, delta-gap+vbyte, block-max)
-- ``index.query``        BM25 top-k (exhaustive + block-max WAND)
+                         salted term-range merge, delta-gap+vbyte, avgdl-free
+                         block bounds, doc-disjoint incremental segments)
+- ``index.query``        BM25 top-k (exhaustive + block-max WAND with
+                         essential-term pruning; mode="auto" routing)
+- ``api``                the reference's make_query surface composed
+                         end-to-end (search → postproc → highlight)
 - ``index.oracle``       single-node numpy oracle for rank-identity tests
 - ``operators``          dedup / similarity / latest-version / post-processing
                          / golden-question evaluation ops

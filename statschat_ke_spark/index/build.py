@@ -553,8 +553,9 @@ def append_segment(
         # idempotent re-send (everything anti-joined away): nothing to pack
         return _unchanged()
     est_pairs = max(1.0, dl_delta * 0.7)
-    P_pack = max(4, min(P, int(est_pairs // 1_500_000) + 1))
-    P_docs = max(1, min(P, n_delta // 2_000_000 + 1))
+    # data-proportional, NOT thread-capped — see merge_index's sizing note
+    P_pack = max(4, min(4096, int(est_pairs // 1_500_000) + 1))
+    P_docs = max(1, min(2048, n_delta // 2_000_000 + 1))
     seg_stats = _build_segment(
         spark, staged_k, index_dir, chunk, P_pack=P_pack, P_docs=P_docs,
         timings=timings,
@@ -864,13 +865,17 @@ def merge_index(
     timings["stats"] = time.time() - tp
 
     # Right-size explicit shuffles from the just-measured stats — an
-    # explicit repartition() is exempt from AQE coalescing, so a tiny corpus
-    # on a big session would otherwise pay P tasks of pure scheduler
-    # overhead per stage. Targets: ~1.5M pair rows / pack partition,
-    # ~2M rows / docs partition; both still reach P on big inputs.
+    # explicit repartition() is exempt from AQE coalescing. Partition count
+    # scales with DATA (~1.5M pair rows ≈ 42 MB per pack partition), NOT
+    # with the thread count: capping at P made each sort task hold
+    # corpus/P rows, which went spill/GC-superlinear at 1M docs (measured:
+    # postings phase 27 s at 270k docs → 358 s at 900k under a min(P, ...)
+    # cap). Tiny corpora still floor at 4 partitions so a big session
+    # doesn't pay P near-empty tasks per stage; excess partitions beyond
+    # the thread count just queue as waves of right-sized tasks.
     est_pairs = max(1.0, n_docs * avgdl * 0.7)  # ≈ Σ distinct terms per doc
-    P_pack = max(4, min(P, int(est_pairs // 1_500_000) + 1))
-    P_docs = max(1, min(P, n_docs // 2_000_000 + 1))
+    P_pack = max(4, min(4096, int(est_pairs // 1_500_000) + 1))
+    P_docs = max(1, min(2048, n_docs // 2_000_000 + 1))
 
     # compaction owns the whole table dirs: clear any prior segments
     for sub in ("postings", "docs", "lexicon", "_metrics"):
