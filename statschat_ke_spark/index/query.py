@@ -55,29 +55,63 @@ def load_stats(index_dir: str) -> dict:
         return json.load(f)
 
 
+# Driver-side probe cache — the engine analog of the reference's
+# ``lru_cache`` on make_query (cloud_llm.py:235, SURVEY §2.8 "query-result
+# cache dict in the query driver"). Keyed by the index's _SUCCESS marker
+# mtime, so any update/compaction (which rewrites the marker) invalidates
+# it. Values: term_id → df (0 = probed and absent). Bounded by the number
+# of distinct QUERIED terms, not the lexicon.
+_PROBE_CACHE: dict[tuple[str, float], dict[int, int]] = {}
+
+
+def _index_version(index_dir: str) -> float:
+    p = os.path.join(index_dir, "_SUCCESS.json")
+    try:
+        return os.path.getmtime(p)
+    except OSError:
+        return -1.0
+
+
+def _probe_dfs(spark: SparkSession, index_dir: str, ids: list[int]) -> dict[int, int]:
+    """df per term_id (summed over lexicon segments), probe-cached."""
+    key = (index_dir, _index_version(index_dir))
+    if key not in _PROBE_CACHE:
+        if len(_PROBE_CACHE) > 8:  # old index versions / other dirs
+            _PROBE_CACHE.clear()
+        _PROBE_CACHE[key] = {}
+    cache = _PROBE_CACHE[key]
+    missing = [i for i in ids if i not in cache]
+    if missing:
+        for i in missing:
+            cache[i] = 0
+        for r in (
+            spark.read.parquet(os.path.join(index_dir, "lexicon"))
+            .filter(F.col("term_id").isin(missing))
+            .groupBy("term_id")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        ):
+            cache[r.term_id] = int(r.df)
+    return {i: cache[i] for i in ids}
+
+
 def _query_terms(spark: SparkSession, index_dir: str, query_text: str) -> dict[int, dict]:
     """Driver-side lexicon probe: term_id → {idf, df}.
 
     The lexicon is segmented (one subdir per incremental segment); global df
-    is the SUM over segments, aggregated here on the term_id-pruned probe
-    (≤ |q| × n_segments rows — trivial)."""
+    is the SUM over segments, aggregated on the term_id-pruned probe
+    (≤ |q| × n_segments rows — trivial) and probe-cached across queries."""
     terms = list(dict.fromkeys(tokenize(query_text)))
     if not terms:
         return {}
     ids = [xxhash64_str(t) for t in terms]
     stats = load_stats(index_dir)
     n = stats["n_docs"]
-    lex = (
-        spark.read.parquet(os.path.join(index_dir, "lexicon"))
-        .filter(F.col("term_id").isin(ids))
-        .groupBy("term_id")
-        .agg(F.sum("df").alias("df"))
-        .collect()
-    )
     out = {}
-    for r in lex:
-        idf = math.log((n - r.df + 0.5) / (r.df + 0.5) + 1.0)
-        out[r.term_id] = {"idf": idf, "df": int(r.df)}
+    for tid, df in _probe_dfs(spark, index_dir, ids).items():
+        if df > 0:
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            out[tid] = {"idf": idf, "df": df}
     return out
 
 
@@ -188,15 +222,10 @@ def topk_batch(
     n = stats["n_docs"]
     lex = {}
     if union_ids:
-        for r in (
-            spark.read.parquet(os.path.join(index_dir, "lexicon"))
-            .filter(F.col("term_id").isin(union_ids))
-            .groupBy("term_id")
-            .agg(F.sum("df").alias("df"))
-            .collect()
-        ):
-            idf = math.log((n - r.df + 0.5) / (r.df + 0.5) + 1.0)
-            lex[r.term_id] = {"idf": idf, "df": int(r.df)}
+        for tid, df in _probe_dfs(spark, index_dir, union_ids).items():
+            if df > 0:
+                idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                lex[tid] = {"idf": idf, "df": df}
     per_q: dict[int, dict[int, dict]] = {
         qid: {t: lex[t] for t in ids if t in lex} for qid, ids in ids_by_q.items()
     }
