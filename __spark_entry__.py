@@ -253,6 +253,28 @@ def _ft_bm25_topk(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+_BATCH_QUERIES = {
+    1: "slow hash join table scan",
+    2: "vector stream batch window",
+    3: "merge sort filter",
+    4: "zzz nothing matches here",  # negative: no vocabulary overlap
+}
+
+
+def _ft_bm25_batch(spark, sf_dir):
+    """Batch retrieval: the WHOLE query set answered in ONE postings scan
+    (index/query.py::topk_batch — per-(seg, slice-group) WAND once per
+    query, ranked window per query). Oracle: the same BM25 math in SQL with
+    a (query_id, term) relation and a per-query ROW_NUMBER."""
+    from statschat_ke_spark.index.query import topk_batch
+
+    idx = _ensure_index(spark, sf_dir)
+    res = topk_batch(spark, idx, _BATCH_QUERIES, k=5)
+    return res.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def _dedup_exact_text(spark, sf_dir):
     """Exact dedup via content hash (training-pipeline op; md5 = same in
     DuckDB). Keeps the smallest doc_id per distinct text."""
@@ -574,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_term_stats": _ft_term_stats,
         "ft_doclen_stats": _ft_doclen_stats,
         "ft_bm25_topk": _ft_bm25_topk,
+        "ft_bm25_batch": _ft_bm25_batch,
         "dedup_exact_text": _dedup_exact_text,
         "sim_cosine_top10": _sim_cosine_top10,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
@@ -623,6 +646,43 @@ scored AS (
 )
 SELECT doc_id, round(s, 6) AS score FROM scored
 ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _bm25_batch_sql() -> str:
+    qt_rows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, qtext in _BATCH_QUERIES.items()
+        for t in dict.fromkeys(qtext.lower().split())
+    )
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qt(query_id, t) AS (VALUES {qt_rows}),
+tf AS (
+    SELECT qt.query_id, toks.doc_id, toks.t, count(*)::DOUBLE AS tf
+    FROM toks JOIN qt ON toks.t = qt.t GROUP BY 1, 2, 3
+),
+df AS (
+    SELECT t, count(DISTINCT doc_id)::DOUBLE AS df FROM toks
+    WHERE t IN (SELECT t FROM qt) GROUP BY t
+),
+scored AS (
+    SELECT tf.query_id, tf.doc_id,
+           sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0)
+                * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+    FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id, s,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rnk
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INT) AS rank,
+       doc_id, round(s, 6) AS score
+FROM ranked WHERE rnk <= 5
 """
 
 
@@ -1035,6 +1095,7 @@ def oracle_sql() -> dict[str, str]:
             FROM all_docs GROUP BY lang
         """,
         "ft_bm25_topk": _BM25_SQL,
+        "ft_bm25_batch": _bm25_batch_sql(),
         "dedup_exact_text": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
                    COUNT(*) AS n_copies
