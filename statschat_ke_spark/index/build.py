@@ -140,23 +140,28 @@ POSTINGS_SCHEMA = T.StructType(
 )
 
 
-_PACK_COLS = ("term_id", "slice", "doc_id", "tf", "doclen")
+_PACK_COLS = ("term_id", "doc_id", "tf", "doclen")
 
 
 def _pack_body(cols: dict, pid: int):
-    """Fully-vectorized block packer: sorted (term_id, slice, doc_sort) rows
+    """Fully-vectorized block packer: sorted (term_id, doc_sort) rows
     → posting-block arrays. One numpy pass — group/block boundaries via
     flatnonzero/reduceat, codec via a single chunked vbyte encode per column.
     ``cols`` holds plain numpy arrays; returns a pyarrow RecordBatch. No
     pandas and no per-row Python objects anywhere (the pandas per-group
     version was ~50× slower; even batchwise pandas cost an Arrow→object
-    conversion that throttled concurrent workers)."""
+    conversion that throttled concurrent workers).
+
+    ``slice`` never travels through the shuffle: it is the top SLICE_BITS of
+    the unsigned doc id, so it is recomputed here (4 fewer bytes per pair
+    row), and sorting by unsigned doc within a term already IS slice-sorted
+    order (slices are doc-range prefixes)."""
     import pyarrow as pa
 
     term = cols["term_id"]
-    slc = cols["slice"]
     doc = cols["doc_id"]
     doc_u = doc.view(np.uint64)
+    slc = (doc_u >> np.uint64(64 - SLICE_BITS)).astype(np.int64)
     tf = cols["tf"].astype(np.int64)
     dl = cols["doclen"].astype(np.int64)
     n = len(term)
@@ -242,8 +247,10 @@ def _pack_groups():
                     k: np.concatenate([leftover[k], cols[k]]) for k in _PACK_COLS
                 }
             # split off the trailing (possibly incomplete) group — groups are
-            # contiguous because input is sorted by (term_id, slice)
-            keys, slcs = cols["term_id"], cols["slice"]
+            # contiguous because input is sorted by (term_id, unsigned doc),
+            # and slice boundaries are doc-order prefixes
+            keys = cols["term_id"]
+            slcs = cols["doc_id"].view(np.uint64) >> np.uint64(64 - SLICE_BITS)
             mask_tail = (keys == keys[-1]) & (slcs == slcs[-1])
             first_tail = int(np.argmax(mask_tail)) if mask_tail.any() else len(keys)
             if first_tail > 0:
@@ -684,20 +691,22 @@ def _build_segment(
         "doc_id", "doclen", F.col("e.terms").alias("term"), F.col("e.tfs").alias("tf")
     )
     doc_sort = F.col("doc_id").bitwiseXOR(F.lit(LONG_MIN))  # unsigned order
+    # slice participates as a shuffle-key EXPRESSION only — it never
+    # materializes as a column (4 fewer bytes per pair row; the packer
+    # recomputes it from doc_id). Sorting (term_id, unsigned doc) already
+    # yields (term_id, slice, doc) order because slices are doc prefixes.
+    slice_key = F.shiftrightunsigned(F.col("doc_id"), 64 - SLICE_BITS)
     # numeric-only columns cross the Arrow boundary: zero-copy into numpy,
     # no Python string materialization in the packer workers
     postings = (
         pairs.select(
             F.xxhash64("term").alias("term_id"),
-            F.shiftrightunsigned(F.col("doc_id"), 64 - SLICE_BITS)
-            .cast("int")
-            .alias("slice"),
             "doc_id",
             "tf",
             "doclen",
         )
-        .repartition(P_pack, "term_id", "slice")
-        .sortWithinPartitions("term_id", "slice", doc_sort)
+        .repartition(P_pack, F.col("term_id"), slice_key)
+        .sortWithinPartitions("term_id", doc_sort)
         .mapInArrow(_pack_groups(), schema=POSTINGS_SCHEMA)
     )
     # docs table write and postings build are independent DAGs — submit them
