@@ -329,10 +329,15 @@ def _dedup_ngram_jaccard(spark, sf_dir):
 def _dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (banded signatures → bucket join → exact
     Jaccard verify). Oracle: the exact n-gram-Jaccard SQL — the recall
-    contract. With 64 hashes / 16 bands at threshold 0.7 the banding finds
-    every exact pair on this corpus (deterministic, fixed seed), and the
-    verify step computes the same exact Jaccard, so the emitted relation
-    EQUALS the exact all-pairs answer; the oracle checks precisely that."""
+    contract. Assumptions this rests on (corpus-specific, deterministic
+    with the fixed seed): (1) with 64 hashes / 16 bands at threshold 0.7
+    the banding collides every qualifying pair on this corpus; (2) no LSH
+    bucket exceeds the default max_bucket=64 guard here, so no candidate
+    is cap-dropped. Under those, the verify step computes the same exact
+    Jaccard, so the emitted relation EQUALS the exact all-pairs answer;
+    the oracle checks precisely that. On corpora violating (1)/(2) the
+    LSH path is a recall≤1 approximation by design — the exact path is
+    ``dedup_ngram_jaccard``."""
     from statschat_ke_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
 
     docs = _t(spark, sf_dir, "documents")
@@ -686,6 +691,14 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+# Mirrors the engine's semantics EXACTLY, including the hot-shingle cap:
+# candidate pairs must share ≥1 shingle with df ≤ 1024 (the engine's default
+# max_shingle_df — a boilerplate guard), while the jaccard itself is computed
+# over the FULL shingle sets (the cap bounds the join, never the similarity
+# math). On the contract corpus no shingle exceeds the cap, so this equals
+# the uncapped relation — but the oracle no longer diverges from the engine
+# on boilerplate-heavy corpora where a qualifying pair's shared shingles are
+# all hot.
 _NGRAM_JACCARD_SQL = """
 WITH toks AS (
     SELECT doc_id,
@@ -701,14 +714,21 @@ sh AS (
     FROM toks
 ),
 ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+sdf AS (SELECT s, count(*) AS s_df FROM ex GROUP BY s),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM ex a JOIN ex b USING (s) JOIN sdf USING (s)
+    WHERE a.doc_id < b.doc_id AND sdf.s_df <= 1024
+),
 co AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS inter
     FROM ex a JOIN ex b USING (s)
     WHERE a.doc_id < b.doc_id
     GROUP BY 1, 2, 3, 4
 )
-SELECT id_a, id_b, round(inter*1.0/(na+nb-inter), 6) AS jaccard
-FROM co WHERE round(inter*1.0/(na+nb-inter), 6) >= 0.7
+SELECT co.id_a, co.id_b, round(inter*1.0/(na+nb-inter), 6) AS jaccard
+FROM co JOIN cand USING (id_a, id_b)
+WHERE round(inter*1.0/(na+nb-inter), 6) >= 0.7
 """
 
 # simhash over lower-64 md5 token hashes, tf-weighted, all-pairs hamming —

@@ -49,6 +49,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Iterator
@@ -497,7 +498,21 @@ def update_index(
     if strategy != "segment":
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    result = append_segment(spark, index_dir, next_chunk, num_partitions=P)
+    # Reconcile ALL pending chunks (staged minus covered), not only the one
+    # just staged: if a prior update crashed between _stage_chunk committing
+    # lineage and append_segment finishing, a retry of the same batch
+    # anti-joins everything away and stages an EMPTY next chunk — appending
+    # only next_chunk would then mark the index complete with the earlier
+    # orphan chunk silently unpacked. Same reconciliation as ingest_stream.
+    pending = sorted(
+        staged_chunks(spark, index_dir) - covered_chunks(index_dir)
+    )
+    result = None
+    for c in pending:
+        result = append_segment(spark, index_dir, c, num_partitions=P)
+    if result is None:  # fully covered already (pure replay)
+        result = append_segment(spark, index_dir, next_chunk, num_partitions=P)
+    result.chunks_processed = len(pending)
     result.chunks_skipped = len(done)
     result.wall_s = time.time() - t0
     return result
@@ -828,6 +843,11 @@ def _write_stats_and_success(
                 "segments": segments,
                 "covered_chunks": sorted(covered_chunks),
                 "format": INDEX_FORMAT,
+                # Unique per commit: the query probe cache keys on this, not
+                # on mtime — back-to-back segment appends (ingest_stream) can
+                # land within one mtime granule on coarse-timestamp
+                # filesystems and would otherwise leave stale df cached.
+                "version": uuid.uuid4().hex,
             },
             f,
         )
@@ -886,7 +906,11 @@ def merge_index(
     P_pack = max(4, min(4096, int(est_pairs // 1_500_000) + 1))
     P_docs = max(1, min(2048, n_docs // 2_000_000 + 1))
 
-    # compaction owns the whole table dirs: clear any prior segments
+    # compaction owns the whole table dirs: invalidate the completion marker
+    # BEFORE gutting them — a crash mid-compaction must not leave a
+    # complete=True _SUCCESS over cleared/partial tables (a rerun over a
+    # fully-staged dir skips the restage-path invalidation at line ~401).
+    _invalidate_success(index_dir)
     for sub in ("postings", "docs", "lexicon", "_metrics"):
         _clear_dir(os.path.join(index_dir, sub))
 

@@ -57,19 +57,24 @@ def load_stats(index_dir: str) -> dict:
 
 # Driver-side probe cache — the engine analog of the reference's
 # ``lru_cache`` on make_query (cloud_llm.py:235, SURVEY §2.8 "query-result
-# cache dict in the query driver"). Keyed by the index's _SUCCESS marker
-# mtime, so any update/compaction (which rewrites the marker) invalidates
-# it. Values: term_id → df (0 = probed and absent). Bounded by the number
-# of distinct QUERIED terms, not the lexicon.
-_PROBE_CACHE: dict[tuple[str, float], dict[int, int]] = {}
+# cache dict in the query driver"). Keyed by the index's commit version
+# (the uuid in _SUCCESS.json — unique per _write_stats_and_success commit),
+# NOT mtime: back-to-back segment appends can land within one mtime granule
+# on coarse-timestamp filesystems and would leave stale df cached. Values:
+# term_id → df (0 = probed and absent). Bounded by the number of distinct
+# QUERIED terms, not the lexicon.
+_PROBE_CACHE: dict[tuple[str, str], dict[int, int]] = {}
 
 
-def _index_version(index_dir: str) -> float:
+def _index_version(index_dir: str) -> str:
     p = os.path.join(index_dir, "_SUCCESS.json")
     try:
-        return os.path.getmtime(p)
-    except OSError:
-        return -1.0
+        with open(p) as f:
+            marker = json.load(f)
+        # per-commit uuid (format ≥ r3); fall back to mtime for older markers
+        return str(marker.get("version") or os.path.getmtime(p))
+    except (OSError, ValueError):
+        return "<absent>"
 
 
 def _probe_dfs(spark: SparkSession, index_dir: str, ids: list[int]) -> dict[int, int]:
@@ -82,16 +87,22 @@ def _probe_dfs(spark: SparkSession, index_dir: str, ids: list[int]) -> dict[int,
     cache = _PROBE_CACHE[key]
     missing = [i for i in ids if i not in cache]
     if missing:
+        # Collect FIRST, commit to the cache only on success: pre-seeding
+        # zeros before the Spark action would, on a transient probe failure,
+        # leave df=0 cached for this index version and silently drop those
+        # terms from every subsequent query's scoring.
+        probed = {
+            int(r.term_id): int(r.df)
+            for r in (
+                spark.read.parquet(os.path.join(index_dir, "lexicon"))
+                .filter(F.col("term_id").isin(missing))
+                .groupBy("term_id")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+        }
         for i in missing:
-            cache[i] = 0
-        for r in (
-            spark.read.parquet(os.path.join(index_dir, "lexicon"))
-            .filter(F.col("term_id").isin(missing))
-            .groupBy("term_id")
-            .agg(F.sum("df").alias("df"))
-            .collect()
-        ):
-            cache[r.term_id] = int(r.df)
+            cache[i] = probed.get(i, 0)
     return {i: cache[i] for i in ids}
 
 

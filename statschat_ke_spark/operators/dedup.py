@@ -343,9 +343,25 @@ def simhash(
     return docs.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("simhash"))
 
 
-def simhash_near_pairs(sh: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    sh: DataFrame,
+    *,
+    max_hamming: int = 3,
+    max_bucket: int = 4096,
+    return_dropped: bool = False,
+):
     """Near-dup pairs with hamming ≤ t via 4×16-bit chunk banding
-    (pigeonhole: ≤3 differing bits ⇒ at least one identical chunk)."""
+    (pigeonhole: ≤3 differing bits ⇒ at least one identical chunk).
+
+    Buckets (chunk_i, chunk) larger than ``max_bucket`` are dropped before
+    the self-join — a degenerate chunk value shared by m near-empty docs
+    contributes m²/2 candidate rows before the hamming filter; same
+    count→filter→broadcast-anti-join guard as ``minhash_lsh_pairs``.
+    ``return_dropped=True`` additionally returns the dropped
+    (chunk_i, chunk, bucket_n) relation — no silent truncation. A pair
+    whose every matching chunk is hot is missed; such docs are degenerate
+    clusters (>cap mutual near-dups) and the exact-dedup path's job.
+    """
     chunks = sh.select(
         "id",
         "simhash",
@@ -357,6 +373,14 @@ def simhash_near_pairs(sh: DataFrame, *, max_hamming: int = 3) -> DataFrame:
                 ]
             )
         ).alias("chunk_i", "chunk"),
+    )
+    hot = (
+        chunks.groupBy("chunk_i", "chunk")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+    )
+    chunks = chunks.join(
+        F.broadcast(hot.select("chunk_i", "chunk")), ["chunk_i", "chunk"], "left_anti"
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
@@ -371,8 +395,11 @@ def simhash_near_pairs(sh: DataFrame, *, max_hamming: int = 3) -> DataFrame:
         .dropDuplicates(["id_a", "id_b"])
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
+    pairs = (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if return_dropped:
+        return pairs, hot
+    return pairs

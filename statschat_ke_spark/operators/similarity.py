@@ -144,9 +144,11 @@ def embedding_near_dup_pairs(
     *,
     nbits: int = 8,
     seed: int = 42,
+    max_bucket: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    return_dropped: bool = False,
+):
     """Embedding-cosine near-dup pairs, LSH-blocked (the 100 TB path):
     bucket by random-hyperplane signature, generate candidates only within a
     bucket (plus 1-bit-flip neighbor buckets via signature expansion), then
@@ -154,32 +156,53 @@ def embedding_near_dup_pairs(
     so recall at high thresholds is preserved while the join touches
     ~n²/2^nbits pairs instead of n².
 
-    Verified in pytest against ``cosine_pairs`` on planted duplicates."""
+    Candidate generation is KEY-ONLY: the (nbits+1)-way explode, self-join
+    and pair-dedup carry just (bkey, id) — 16 bytes/row — and the vectors
+    are joined back only for surviving distinct pairs. At 768-dim float
+    that cuts the candidate shuffle from ~3 KB × (nbits+1) copies per
+    vector (~27 KB) to ~150 B, a ~200× shuffle-bytes drop; the vector join
+    is on 8-byte ids against the (much smaller) distinct-pair relation.
+
+    Buckets larger than ``max_bucket`` (degenerate vectors — all-zero /
+    boilerplate embeddings landing in one signature) are dropped and
+    reported via ``return_dropped=True`` — same guard as
+    ``minhash_lsh_pairs``. Verified in pytest against ``cosine_pairs`` on
+    planted duplicates."""
     indexed, planes = lsh_index(emb, nbits=nbits, seed=seed, id_col=id_col, vec_col=vec_col)
     # probe expansion: each vector claims its bucket and all 1-bit flips, so
     # any pair within Hamming distance 1 of each other shares a claimed key
     keys = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(nbits)]
     )
-    exploded = indexed.select(
-        F.col(id_col), F.col(vec_col), F.explode(keys).alias("bkey")
+    exploded = indexed.select(F.col(id_col).alias("id"), F.explode(keys).alias("bkey"))
+    hot = (
+        exploded.groupBy("bkey")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
     )
-    a = exploded.select(
-        F.col("bkey"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    )
-    b = exploded.select(
-        F.col("bkey"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
+    sized = exploded.join(F.broadcast(hot.select("bkey")), "bkey", "left_anti")
     cand = (
-        a.join(b, ["bkey"])
+        sized.select("bkey", F.col("id").alias("id_a"))
+        .join(sized.select("bkey", F.col("id").alias("id_b")), "bkey")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.round(
-            _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
-        ).alias("cosine"),
-    ).filter(F.col("cosine") >= min_cosine)
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+    if return_dropped:
+        return pairs, hot
+    return pairs

@@ -307,3 +307,86 @@ def test_simhash_vectorization_parity(spark):
     got = {r.id: r.simhash for r in simhash(df).collect()}
     for i, t in enumerate(texts):
         assert got[i] == reference_simhash(t), t
+
+
+def test_simhash_hot_chunk_cap(spark):
+    """A planted degenerate cluster (many near-empty docs sharing a simhash
+    chunk value) must not explode the chunk self-join: oversized buckets are
+    dropped AND reported, while genuine near-dup pairs outside the hot
+    buckets are still found."""
+    from pyspark.sql import Row
+
+    # 200 docs with identical text → identical simhash → every chunk bucket
+    # holds 200 members (> cap). Plus one distinctive near-dup pair.
+    rows = [Row(doc_id=i, text="degenerate boilerplate stub page") for i in range(200)]
+    rows += [
+        Row(doc_id=500, text=BASE),
+        Row(doc_id=501, text=BASE.replace("lazy", "sleepy")),
+    ]
+    sh = simhash(spark.createDataFrame(rows))
+    pairs, dropped = simhash_near_pairs(
+        sh, max_hamming=10, max_bucket=50, return_dropped=True
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    d = dropped.collect()
+    # the degenerate cluster's buckets were dropped and reported (4 chunks)
+    assert len(d) >= 1 and all(r.bucket_n > 50 for r in d)
+    # no pair from inside the degenerate cluster leaks through
+    assert not any(a < 200 and b < 200 for a, b in got)
+    # the distinctive near-dup pair still found when banding can see it
+    # (≥1 identical 16-bit chunk — guaranteed only for hamming ≤ 3) and it
+    # passes the hamming filter
+    vals = {r.id: r.simhash for r in sh.collect()}
+    x = (vals[500] ^ vals[501]) & ((1 << 64) - 1)
+    h = bin(x).count("1")
+    shares_chunk = any(((x >> (16 * i)) & 0xFFFF) == 0 for i in range(4))
+    if h <= 10 and shares_chunk:
+        assert (500, 501) in got
+    # default (uncapped at this size) still finds the degenerate pairs
+    base_pairs = simhash_near_pairs(sh, max_hamming=10).limit(1).collect()
+    assert len(base_pairs) == 1
+
+
+def test_embedding_near_dup_hot_bucket_cap(spark):
+    """Degenerate embeddings (identical vectors → one LSH bucket with m
+    members → m²/2 candidates) are capped: the hot bucket is dropped and
+    reported, pairs outside it survive, and the key-only rewrite returns
+    the same pairs as the round-2 payload-carrying version (cosine values
+    exact)."""
+    import numpy as np
+    from pyspark.sql import Row
+    from statschat_ke_spark.operators.similarity import (
+        cosine_pairs,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    deg = rng.standard_normal(16)  # one degenerate direction, 300 copies
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in deg + rng.standard_normal(16) * 1e-4])
+        for i in range(300)
+    ]
+    base = rng.standard_normal((20, 16))
+    for i, v in enumerate(base):
+        rows.append(Row(vec_id=1000 + i, embedding=[float(x) for x in v]))
+    for i in range(5):  # planted distinct near-dups
+        v = base[i] + rng.standard_normal(16) * 0.01
+        rows.append(Row(vec_id=2000 + i, embedding=[float(x) for x in v]))
+    emb = spark.createDataFrame(rows)
+
+    pairs, dropped = embedding_near_dup_pairs(
+        emb, 0.98, nbits=8, max_bucket=64, return_dropped=True
+    )
+    got = {(r.id_a, r.id_b): r.cosine for r in pairs.collect()}
+    d = dropped.collect()
+    assert len(d) >= 1 and all(r.bucket_n > 64 for r in d)
+    # degenerate-cluster pairs suppressed (their buckets are hot)
+    assert not any(a < 300 and b < 300 for (a, b) in got)
+    # the planted distinct near-dups survive with exact cosine
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs(emb, 0.98).collect()
+        if r.id_a >= 1000
+    }
+    for k, v in exact.items():
+        assert k in got and abs(got[k] - v) < 1e-9
