@@ -230,6 +230,45 @@ def main() -> None:
         report["update_segment"]["delta_docs"] / max(1, res.n_docs), 4
     )
 
+    # ---- 5. query latency vs segment count (lifecycle-policy evidence) ----
+    # Same corpus, same total docs, split 1 / 4 / 16 ways: each extra
+    # segment adds one lexicon partition to the df probe and one
+    # (segment, slice) local top-k to the WAND merge. This is the measured
+    # curve behind DEFAULT_MAX_SEGMENTS.
+    import glob as _glob
+
+    from statschat_ke_spark.index.build import build_index as _bi
+
+    part_files = sorted(_glob.glob(os.path.join(input_dir, "part-*.parquet")))
+    seg_lat: dict = {"1": report.get("query_auto", {}).get("per_query_s_best")}
+    for n_seg in (4, 16):
+        idx_s = os.path.join(
+            tempfile.gettempdir(), f"statschat_large_idx_seg{n_seg}"
+        )
+        if not os.path.exists(os.path.join(idx_s, "_SUCCESS.json")):
+            shutil.rmtree(idx_s, ignore_errors=True)
+            per = max(1, len(part_files) // n_seg)
+            slices = [part_files[i * per:(i + 1) * per] for i in range(n_seg - 1)]
+            slices.append(part_files[(n_seg - 1) * per:])
+            _bi(spark, spark.read.parquet(*slices[0]), idx_s,
+                lang="en", num_partitions=args.cpus)
+            for sl in slices[1:]:
+                update_index(
+                    spark, spark.read.parquet(*sl), idx_s,
+                    num_partitions=args.cpus, strategy="segment",
+                    max_segments=None,
+                )
+        walls = []
+        for rep in range(args.repeats):
+            t0 = time.time()
+            for q in QUERIES[:8]:
+                topk(spark, idx_s, q, k=10, mode="auto").collect()
+            walls.append((time.time() - t0) / 8)
+        seg_lat[str(n_seg)] = round(min(walls), 3)
+        print(json.dumps({f"seg{n_seg}_per_query_s": seg_lat[str(n_seg)]}),
+              flush=True)
+    report["query_latency_vs_segments"] = seg_lat
+
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))

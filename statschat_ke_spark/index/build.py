@@ -74,6 +74,18 @@ LONG_MIN = -(2**63)
 # batch-ping-pong collapse under high task concurrency (measured 12× slower
 # at 32 threads). Set per-stage, restored after.
 PACK_ARROW_BATCH = 131072
+# Segment-lifecycle policy threshold. Each appended segment adds one more
+# per-segment lexicon partition to every query-time df probe and one more
+# (segment, slice) local top-k to the WAND merge, so probe latency and
+# query fan-out grow linearly with segment count while per-append cost
+# stays delta-proportional — the classic LSM trade. Compacting when the
+# count exceeds this bound keeps query-side overhead O(1) amortized:
+# with delta ≈ d docs per append, compaction (∝ corpus) runs every
+# MAX_SEGMENTS appends, so amortized update cost stays ∝ corpus/MAX + d.
+# The reference re-merges its whole FAISS store on EVERY update
+# (/root/reference/statschat/preprocess.py:250-288) — this policy is that
+# behavior with the rebuild amortized 8× and bounded probe fan-out.
+DEFAULT_MAX_SEGMENTS = 8
 
 TOKENIZED_SCHEMA = T.StructType(
     [
@@ -93,6 +105,18 @@ def tokenize_doc_udf(text: pd.Series) -> pd.DataFrame:
     Map-side tf aggregation: downstream row count is bounded by Σ df
     (distinct terms per doc), not token positions — the sort-based analog of
     a map-side combine.
+
+    The per-doc loop is deliberate, not an oversight — MEASURED (20k docs /
+    4.5M Zipf tokens, interleaved best-of-3): this loop's work is C code
+    (sre findall ~70%, Counter's _count_elements ~30%); a fully-vectorized
+    rewrite (flat token stream → pd.factorize → composite-key stable
+    argsort → reduceat counts → lexsort back to first-occurrence order,
+    byte-identical output) ran 10× SLOWER end-to-end — the global sort over
+    token instances plus object-array gathers cost multiple memory passes
+    that the per-doc C loop never pays. A single batch-wide findall over
+    sentinel-joined text was 1.5× slower (flat-list re-splitting), and
+    len/total micro-variants were within noise. ~13k docs/s/core here;
+    linear, Arrow-batched, embarrassingly parallel across executors.
     """
     import re
     from collections import Counter
@@ -275,6 +299,9 @@ class BuildResult:
     chunks_processed: int
     chunks_skipped: int
     complete: bool = True
+    # set when the segment-lifecycle policy folded all segments back into
+    # seg=0 during this call (see maybe_compact)
+    compacted: bool = False
 
 
 def _prepare_base(docs: DataFrame, lang: str | None) -> DataFrame:
@@ -450,6 +477,7 @@ def update_index(
     lang: str | None = "en",
     num_partitions: int | None = None,
     strategy: str = "segment",
+    max_segments: int | None = DEFAULT_MAX_SEGMENTS,
 ) -> BuildResult:
     """Incremental UPDATE: stage only genuinely-new documents as a fresh
     chunk, then merge. The Spark analog of the reference's UPDATE mode
@@ -469,7 +497,13 @@ def update_index(
       block bounds are avgdl-free, see POSTINGS_SCHEMA).
     - ``compact`` — full phase-B re-merge of all staged chunks into one
       segment; byte-identical to a from-scratch build (the compaction /
-      rewrite path; run it periodically when segment count grows).
+      rewrite path).
+
+    Lifecycle: after a segment append, if the segment count exceeds
+    ``max_segments`` (default DEFAULT_MAX_SEGMENTS; None disables), the
+    index is auto-compacted back to one segment — bounding query-time probe
+    fan-out while keeping per-update cost delta-proportional amortized
+    (see maybe_compact). The result's ``compacted`` flag reports it.
     """
     t0 = time.time()
     P = num_partitions or spark.sparkContext.defaultParallelism
@@ -512,6 +546,11 @@ def update_index(
         result = append_segment(spark, index_dir, c, num_partitions=P)
     if result is None:  # fully covered already (pure replay)
         result = append_segment(spark, index_dir, next_chunk, num_partitions=P)
+    compacted = maybe_compact(
+        spark, index_dir, max_segments=max_segments, num_partitions=P
+    )
+    if compacted is not None:
+        result = compacted
     result.chunks_processed = len(pending)
     result.chunks_skipped = len(done)
     result.wall_s = time.time() - t0
@@ -525,6 +564,28 @@ def _existing_segments(index_dir: str) -> list[int]:
     return sorted(
         int(d.split("=", 1)[1]) for d in os.listdir(p) if d.startswith("seg=")
     )
+
+
+def maybe_compact(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    max_segments: int | None = DEFAULT_MAX_SEGMENTS,
+    num_partitions: int | None = None,
+) -> BuildResult | None:
+    """Fold all segments back into seg=0 when the count exceeds
+    ``max_segments`` (None = never). Returns the compaction result, or None
+    when no compaction was needed. Safe mid-lifecycle: merge_index
+    invalidates _SUCCESS before touching tables and rebuilds from the staged
+    chunks, so a crash here degrades to a resumable rebuild, never a
+    corrupt-but-complete index."""
+    if max_segments is None:
+        return None
+    if len(_existing_segments(index_dir)) <= max_segments:
+        return None
+    out = merge_index(spark, index_dir, num_partitions=num_partitions)
+    out.compacted = True
+    return out
 
 
 def append_segment(

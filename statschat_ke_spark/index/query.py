@@ -304,22 +304,29 @@ def _exhaustive_scorer(idf_map: dict[int, float], avgdl: float):
         for pdf in batches:
             if not len(pdf):
                 continue
-            outs_ids, outs_scores = [], []
-            for row in pdf.itertuples(index=False):
-                ids = decode_doc_ids(row.doc_ids).view(np.int64)
-                tfs = decode_tfs(row.tfs).astype(np.float64)
-                dls = vbyte_decode(row.dls).astype(np.float64)
-                w = idf_map[row.term_id]
-                partial = w * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
-                outs_ids.append(ids)
-                outs_scores.append(partial)
-            if outs_ids:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": np.concatenate(outs_ids),
-                        "score": np.concatenate(outs_scores),
-                    }
-                )
+            # Whole-batch concatenated decode — no per-block Python loop.
+            # Each column's buffers are byte-concatenable: vbyte values are
+            # self-terminating, so one decode over the joined buffer yields
+            # the flat value stream; `n` (docs per block) segments it.
+            n = pdf["n"].to_numpy().astype(np.int64)
+            gaps = vbyte_decode(b"".join(pdf["doc_ids"]))
+            tfs = (vbyte_decode(b"".join(pdf["tfs"])) + np.uint64(1)).astype(
+                np.float64
+            )
+            dls = vbyte_decode(b"".join(pdf["dls"])).astype(np.float64)
+            # segmented cumsum restores absolute doc ids: each block's gap
+            # stream starts with an absolute id, so subtract the running
+            # total carried in from the previous blocks of the batch
+            g = np.cumsum(gaps, dtype=np.uint64)
+            ends = np.cumsum(n)
+            prev = np.zeros(len(pdf), dtype=np.uint64)
+            prev[1:] = g[ends[:-1] - 1]
+            ids = g - np.repeat(prev, n)
+            w = np.repeat(
+                pdf["term_id"].map(idf_map).to_numpy(dtype=np.float64), n
+            )
+            partial = w * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+            yield pd.DataFrame({"doc_id": ids.view(np.int64), "score": partial})
 
     return score
 

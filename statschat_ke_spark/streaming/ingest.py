@@ -29,11 +29,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from statschat_ke_spark.corpus import CONTRACT_SCHEMA
 from statschat_ke_spark.index.build import (
+    DEFAULT_MAX_SEGMENTS,
     BuildResult,
     _prepare_base,
     _stage_chunk,
     append_segment,
     covered_chunks,
+    maybe_compact,
     merge_index,
     staged_chunks,
 )
@@ -52,6 +54,7 @@ def ingest_stream(
     max_files_per_trigger: int | None = None,
     merge: bool = True,
     strategy: str = "segment",
+    max_segments: int | None = DEFAULT_MAX_SEGMENTS,
 ) -> BuildResult | None:
     """Drain the landing zone into the index with Trigger.AvailableNow.
 
@@ -114,4 +117,10 @@ def ingest_stream(
     result = None
     for chunk in pending:
         result = append_segment(spark, index_dir, chunk, num_partitions=num_partitions)
-    return result
+    # lifecycle policy: a long-running drain appends one segment per
+    # micro-batch; bound the segment count (and with it query-probe
+    # fan-out) by folding back to seg=0 past the threshold
+    compacted = maybe_compact(
+        spark, index_dir, max_segments=max_segments, num_partitions=num_partitions
+    )
+    return compacted if compacted is not None else result

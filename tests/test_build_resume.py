@@ -203,3 +203,61 @@ def test_file_listing_chunked_build(spark, docs500, single_shot, tmp_path_factor
     assert all(v > 0 for v in per_chunk_files.values())
     assert _lexicon(spark, d) == _lexicon(spark, d_ss)
     assert _postings(spark, d) == _postings(spark, d_ss)
+
+
+def test_segment_lifecycle_auto_compaction(spark, docs500, single_shot, tmp_path_factory):
+    """Lifecycle policy: successive segment appends trigger EXACTLY ONE
+    auto-compaction when the segment count crosses max_segments, the index
+    folds back to seg=0, and queries stay rank-identical to the single-shot
+    build over the same corpus afterwards (including one further append on
+    top of the compacted state)."""
+    import numpy as np
+
+    from statschat_ke_spark.index.build import _existing_segments
+
+    d_ss, _ = single_shot
+    pdf = generate_documents(500)
+
+    def df_of(a, b):
+        return spark.createDataFrame(
+            pdf.iloc[a:b], schema=DOCUMENTS_SPARK_SCHEMA
+        ).select("url", "warc_ts", "html", "text", "lang")
+
+    d = str(tmp_path_factory.mktemp("lc") / "idx")
+    build_index(spark, df_of(0, 200), d, num_partitions=P)
+    assert _existing_segments(d) == [0]
+
+    compactions = []
+    # appends → segment counts 2, 3, 4(>3: compact to 1), 2
+    for a, b in [(200, 280), (280, 360), (360, 430), (430, 500)]:
+        res = update_index(
+            spark, df_of(a, b), d, num_partitions=P,
+            strategy="segment", max_segments=3,
+        )
+        assert res.complete
+        compactions.append(bool(res.compacted))
+    assert compactions == [False, False, True, False]
+    # post-compaction state: seg=0 plus exactly the one post-compaction
+    # append (segments are named by chunk id; the 5th slice staged chunk 4)
+    assert _existing_segments(d) == [0, 4]
+
+    # the compacted+appended index answers identically to the single-shot
+    # build over the same 500 docs (ranks AND scores); n_docs matches the
+    # single-shot docs table (lang filter drops the non-en rows in both)
+    assert res.n_docs == spark.read.parquet(os.path.join(d_ss, "docs")).count()
+    for q in ["what was inflation in december 2023", "maize production county report"]:
+        a = topk(spark, d, q, 10).toPandas()
+        b = topk(spark, d_ss, q, 10).toPandas()
+        assert (a.doc_id.to_numpy() == b.doc_id.to_numpy()).all()
+        assert np.allclose(a.score.to_numpy(), b.score.to_numpy(), atol=1e-9)
+
+    # max_segments=None disables the policy entirely
+    d2 = str(tmp_path_factory.mktemp("lc2") / "idx")
+    build_index(spark, df_of(0, 200), d2, num_partitions=P)
+    for i, (a, b) in enumerate([(200, 280), (280, 360), (360, 430)]):
+        res = update_index(
+            spark, df_of(a, b), d2, num_partitions=P,
+            strategy="segment", max_segments=None,
+        )
+        assert not res.compacted
+    assert _existing_segments(d2) == [0, 1, 2, 3]

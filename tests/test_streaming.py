@@ -125,3 +125,36 @@ def test_stream_rerun_noop(spark, parts, tmp_path):
     r2 = ingest_stream(spark, landing, idx, num_partitions=P)
     assert r2.n_docs == r1.n_docs
     assert _lexicon(spark, idx) == lex1
+
+
+def test_stream_drain_auto_compaction(spark, parts, tmp_path):
+    """A drain that pushes the segment count past max_segments triggers the
+    lifecycle compaction: the index folds back to a single seg=0 and still
+    answers identically to a batch build over the same corpus."""
+    import numpy as np
+
+    from statschat_ke_spark.index.build import _existing_segments
+    from statschat_ke_spark.index.query import topk
+
+    full, a, b = parts
+    landing = str(tmp_path / "landing_lc")
+    idx = str(tmp_path / "idx_lc")
+    idx_full = str(tmp_path / "idx_lc_full")
+
+    a.write.mode("append").parquet(landing)
+    ingest_stream(spark, landing, idx, num_partitions=P)
+    assert _existing_segments(idx) == [0]
+
+    # second drain appends ≥1 segment → count ≥ 2 > max_segments=1 → compact
+    b.write.mode("append").parquet(landing)
+    res = ingest_stream(spark, landing, idx, num_partitions=P, max_segments=1)
+    assert res.compacted
+    assert _existing_segments(idx) == [0]
+    assert res.n_docs == full.filter("lang = 'en'").count()
+
+    build_index(spark, full, idx_full, num_partitions=P)
+    for q in ["inflation county report", "maize production county report"]:
+        x = topk(spark, idx, q, 10).toPandas()
+        y = topk(spark, idx_full, q, 10).toPandas()
+        assert (x.doc_id.to_numpy() == y.doc_id.to_numpy()).all()
+        assert np.allclose(x.score.to_numpy(), y.score.to_numpy(), atol=1e-9)
