@@ -280,39 +280,106 @@ def highlight_udf(text: pd.Series, phrases: pd.Series) -> pd.Series:
     return pd.Series(map(mark, zip(text, phrases)))
 
 
+def _lcs_len_bitparallel(x: str, y: str) -> int:
+    """LCS length via the Crochemore-Iliopoulos-Pinzon bit-parallel
+    recurrence on Python big ints: V' = ((V + (V & M)) | (V & ~M)) mod 2^m,
+    LCS = m - popcount(V). O(|y| * ceil(|x|/64)) word ops instead of the
+    O(|x|*|y|) cell DP — exact for ALL lengths (big ints carry across words).
+    """
+    m = len(x)
+    if m > len(y):
+        x, y = y, x
+        m = len(x)
+    if m == 0:
+        return 0
+    pm: dict[str, int] = {}
+    bit = 1
+    for c in x:
+        pm[c] = pm.get(c, 0) | bit
+        bit <<= 1
+    mask = bit - 1
+    v = mask
+    get = pm.get
+    for c in y:
+        mm = get(c, 0)
+        v = ((v + (v & mm)) | (v & ~mm)) & mask
+    return m - bin(v).count("1")
+
+
+def _lcs_batch_u64(xs: list[str], ys: list[str]):
+    """Batched bit-parallel LCS across pairs: one uint64 register per pair
+    (requires len(x) <= 64), recurrence vectorized over the whole batch per
+    y-position. Padded y positions yield M=0, for which the recurrence is a
+    no-op, so ragged y lengths need no per-pair control flow. The O(n*m)
+    match-mask work runs as numpy byte compares + packbits, the DP itself as
+    ~5 uint64 ops per (pair, y-position) column step.
+    """
+    import numpy as np
+
+    p = len(xs)
+    mlen = np.fromiter((len(x) for x in xs), dtype=np.uint64, count=p)
+    ylen = max(len(y) for y in ys)
+    xc = np.zeros((p, 64), dtype=np.uint32)
+    yc = np.zeros((p, ylen), dtype=np.uint32)
+    for i, x in enumerate(xs):
+        xc[i, : len(x)] = np.frombuffer(x.encode("utf-32-le"), np.uint32)
+    for i, y in enumerate(ys):
+        yc[i, : len(y)] = np.frombuffer(y.encode("utf-32-le"), np.uint32)
+    ones = np.uint64(0xFFFFFFFFFFFFFFFF)
+    mask = ones >> (np.uint64(64) - mlen)  # mlen >= 1 guaranteed by caller
+    v = mask.copy()
+    for j in range(ylen):
+        eq = xc == yc[:, j, None]
+        mm = np.packbits(eq, axis=1, bitorder="little").view(np.uint64).ravel()
+        u = v & mm
+        v = ((v + u) | (v & ~mm)) & mask
+    if hasattr(np, "bitwise_count"):
+        pc = np.bitwise_count(v)
+    else:
+        pc = np.unpackbits(v.view(np.uint8)).reshape(p, 8 * 8).sum(axis=1)
+    return (mlen - pc).astype(np.int64)
+
+
 @F.pandas_udf(T.DoubleType())
 def fuzz_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """F14 — rapidfuzz.fuzz.ratio parity (latest_updates.py:46,
     evaluation.py:155-173): indel similarity = 100 * 2*LCS / (|a|+|b|).
 
-    Pure-Python DP (no rapidfuzz in this environment); strings here are
-    short titles/answers, and the fuzzy join that uses it blocks on a
-    60-char prefix first (J3), so the O(nm) core stays small.
+    Bit-parallel LCS (no rapidfuzz in this environment): pairs whose shorter
+    string fits one 64-bit register run batched across the whole Arrow batch
+    in numpy (`_lcs_batch_u64`); longer pairs fall back to the big-int
+    bit-parallel scalar path — both exact, property-tested against the cell
+    DP. Replaces the former O(n*m) pure-Python DP per pair (~64x fewer inner
+    ops, vectorized across pairs for the common short-title case).
     """
+    import numpy as np
 
-    def lcs_len(x: str, y: str) -> int:
-        if not x or not y:
-            return 0
-        prev = [0] * (len(y) + 1)
-        for cx in x:
-            cur = [0]
-            append = cur.append
-            for j, cy in enumerate(y, 1):
-                if cx == cy:
-                    append(prev[j - 1] + 1)
-                else:
-                    p, c = prev[j], cur[j - 1]
-                    append(p if p >= c else c)
-            prev = cur
-        return prev[-1]
-
-    def ratio(args):
-        x, y = args
+    av = a.tolist()
+    bv = b.tolist()
+    out = np.zeros(len(av), dtype=np.float64)
+    batch_idx: list[int] = []
+    batch_x: list[str] = []
+    batch_y: list[str] = []
+    batch_denom: list[int] = []
+    for i, (x, y) in enumerate(zip(av, bv)):
         if x is None or y is None:
-            return 0.0
+            continue  # out[i] stays 0.0
         if not x and not y:
-            return 100.0
-        m = lcs_len(x.lower(), y.lower())
-        return 200.0 * m / (len(x) + len(y))
-
-    return pd.Series(map(ratio, zip(a, b)), dtype="float64")
+            out[i] = 100.0
+            continue
+        xl, yl = x.lower(), y.lower()
+        if len(xl) > len(yl):
+            xl, yl = yl, xl
+        if not xl:
+            continue  # LCS = 0
+        if len(xl) <= 64:
+            batch_idx.append(i)
+            batch_x.append(xl)
+            batch_y.append(yl)
+            batch_denom.append(len(x) + len(y))
+        else:
+            out[i] = 200.0 * _lcs_len_bitparallel(xl, yl) / (len(x) + len(y))
+    if batch_idx:
+        lcs = _lcs_batch_u64(batch_x, batch_y)
+        out[np.asarray(batch_idx)] = 200.0 * lcs / np.asarray(batch_denom)
+    return pd.Series(out)

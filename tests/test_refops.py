@@ -400,3 +400,71 @@ def test_html_escape(spark):
     for c in cases:
         got = one(spark, html_escape(F.col("s")), s=c)
         assert got == str(markupsafe.escape(c)), c
+
+
+# ---- bit-parallel LCS (F14 internals) ----
+
+
+def _lcs_dp_oracle(x: str, y: str) -> int:
+    """Textbook O(n*m) cell DP — the oracle the bit-parallel paths must match."""
+    if not x or not y:
+        return 0
+    prev = [0] * (len(y) + 1)
+    for cx in x:
+        cur = [0]
+        for j, cy in enumerate(y, 1):
+            cur.append(prev[j - 1] + 1 if cx == cy
+                       else max(prev[j], cur[j - 1]))
+        prev = cur
+    return prev[-1]
+
+
+def test_lcs_bitparallel_property():
+    from hypothesis import given, settings, strategies as st
+
+    from statschat_ke_spark.functions.refops import (
+        _lcs_batch_u64,
+        _lcs_len_bitparallel,
+    )
+
+    alpha = st.text(alphabet="abcde é", min_size=0, max_size=130)
+
+    @given(alpha, alpha)
+    @settings(max_examples=300, deadline=None)
+    def check(x, y):
+        want = _lcs_dp_oracle(x, y)
+        assert _lcs_len_bitparallel(x, y) == want
+        short, long_ = (x, y) if len(x) <= len(y) else (y, x)
+        if 1 <= len(short) <= 64:
+            assert _lcs_batch_u64([short], [long_])[0] == want
+
+    check()
+
+
+def test_lcs_bitparallel_word_boundary():
+    from statschat_ke_spark.functions.refops import (
+        _lcs_batch_u64,
+        _lcs_len_bitparallel,
+    )
+
+    # exactly 64 / 65 chars: full-register mask and the big-int crossover
+    x64 = "ab" * 32
+    x65 = x64 + "c"
+    y = "ba" * 40
+    for x in (x64, x65):
+        assert _lcs_len_bitparallel(x, y) == _lcs_dp_oracle(x, y)
+    assert _lcs_batch_u64([x64], [y])[0] == _lcs_dp_oracle(x64, y)
+    # batch with ragged y lengths + identical strings + disjoint alphabets
+    xs = [x64, "abc", "zzzz"]
+    ys = [y, "abc", "qqqq"]
+    got = list(_lcs_batch_u64(xs, ys))
+    assert got == [_lcs_dp_oracle(a, b) for a, b in zip(xs, ys)]
+
+
+def test_fuzz_ratio_long_strings(spark):
+    # >64-char pattern exercises the big-int fallback inside the UDF
+    a = "inflation report " * 8  # 136 chars
+    b = "inflation rate report " * 8
+    want = 200.0 * _lcs_dp_oracle(a.lower(), b.lower()) / (len(a) + len(b))
+    got = one(spark, fuzz_ratio_udf(F.col("a"), F.col("b")), a=a, b=b)
+    assert math.isclose(got, want)
