@@ -191,6 +191,27 @@ def main() -> None:
     }
     print(json.dumps({"topk_batch": report["topk_batch"]}), flush=True)
 
+    # ---- 3b. 64-query batch: the query-bucket parallelism case ----
+    # (n_qb > 1 splits queries across tasks; amortized s/query should hold
+    # or improve as the batch grows past the slice-group task count)
+    big_queries = {
+        i: f"{QUERIES[i % len(QUERIES)]} {QUERIES[(i * 7 + 3) % len(QUERIES)].split()[0]}"
+        for i in range(64)
+    }
+    walls = []
+    for rep in range(args.repeats):
+        t0 = time.time()
+        out = topk_batch(spark, idx, big_queries, k=10)
+        n = out.count()
+        walls.append(time.time() - t0)
+    report["topk_batch_64"] = {
+        "n_queries": len(big_queries),
+        "wall_s_best": round(min(walls), 3),
+        "per_query_s": round(min(walls) / len(big_queries), 4),
+        "rows": int(n),
+    }
+    print(json.dumps({"topk_batch_64": report["topk_batch_64"]}), flush=True)
+
     # ---- 4. incremental update: segment vs compact on a 5% delta ----
     from statschat_ke_spark.corpus import spark_documents_distributed
 

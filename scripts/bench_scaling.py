@@ -50,37 +50,11 @@ def _session(cpus: int, shuffle_partitions: int | None = None):
 
 
 def _subtree_cpu_seconds() -> float:
-    """CPU seconds consumed by this process tree (driver + JVM + Python
-    workers). The sandbox VM is wholesale-paused at random by its hypervisor,
-    which inflates wall clock but not CPU time — CPU-normalized throughput is
-    the pause-immune signal, reported alongside best-of-N wall numbers."""
-    from collections import defaultdict
+    """Pause-immune CPU signal — see statschat_ke_spark.benchutil (shared
+    with bench.py's best-of-N protocol)."""
+    from statschat_ke_spark.benchutil import subtree_cpu_seconds
 
-    me = os.getpid()
-    procs: dict[int, tuple[int, int]] = {}
-    tck = os.sysconf("SC_CLK_TCK")
-    for d in os.listdir("/proc"):
-        if not d.isdigit():
-            continue
-        try:
-            with open(f"/proc/{d}/stat", "rb") as f:
-                s = f.read().decode("latin1")
-        except OSError:
-            continue
-        rp = s.rindex(")")
-        fields = s[rp + 2:].split()
-        ppid = int(fields[1])
-        jiffies = int(fields[11]) + int(fields[12]) + int(fields[13]) + int(fields[14])
-        procs[int(d)] = (ppid, jiffies)
-    ch = defaultdict(list)
-    for pid, (pp, _) in procs.items():
-        ch[pp].append(pid)
-    total, stack = 0, [me]
-    while stack:
-        p = stack.pop()
-        total += procs.get(p, (0, 0))[1]
-        stack.extend(ch.get(p, []))
-    return total / tck
+    return subtree_cpu_seconds()
 
 
 def child(cpus: int, input_dir: str) -> None:

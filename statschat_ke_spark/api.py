@@ -46,6 +46,7 @@ def search(
     latest_max: float = 2.0,
     now: str | None = None,
     metadata: DataFrame | None = None,
+    latest_only: bool = False,
     highlight: bool = True,
     mode: str = "auto",
 ) -> dict:
@@ -70,8 +71,21 @@ def search(
     lw, q_escaped = float(lw_row.lw), str(lw_row.q_esc)
 
     if metadata is not None:
-        hits = hits.join(F.broadcast(metadata), "doc_id", "left")
-        have = set(metadata.columns)
+        if latest_only and "latest" in metadata.columns:
+            # P4 — the reference's content_type="latest" restriction
+            # (main_api_cloud.py:100-110 → make_query latest_filter). Like
+            # the reference (LangChain FAISS filters AFTER fetching fetch_k
+            # candidates), this filters post-retrieval: fetch k, keep the
+            # latest-flagged subset via an inner join against the filtered
+            # metadata, so non-latest docs drop out of the references.
+            hits = hits.join(
+                F.broadcast(metadata.filter(F.col("latest")).drop("latest")),
+                "doc_id",
+                "inner",
+            )
+        else:
+            hits = hits.join(F.broadcast(metadata), "doc_id", "left")
+        have = set(metadata.columns) - {"latest"}
     else:
         have = set()
 

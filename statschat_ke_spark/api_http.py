@@ -1,0 +1,170 @@
+"""HTTP façade over :func:`statschat_ke_spark.api.search` — the reference's
+FastAPI entry point (/root/reference/fast-api/main_api_cloud.py:62-151)
+re-expressed on the stdlib (no fastapi in this environment): a plain WSGI
+callable plus a ``wsgiref`` dev server. Endpoint parity:
+
+- ``GET /``          → API self-description JSON (the reference redirects to
+                       /openapi.json; without fastapi we return the doc
+                       inline — documented divergence)
+- ``GET /search``    → ``q`` (required, 422 when empty after escaping),
+                       ``content_type`` in {latest, all} (unknown values
+                       fall back to "latest", main_api_cloud.py:100-105);
+                       response {question, content_type, latest_weight,
+                       references} — the LLM ``answer`` field is excluded
+                       by design (SURVEY.md §2.8)
+- ``POST /feedback`` → 202 + empty body; requires ``rating`` (str|int,
+                       422 otherwise); appended as a JSON line to the
+                       feedback log (S13 sink analog of the reference's
+                       logger.info at main_api_cloud.py:149)
+
+The app is deliberately thin: every engine behavior it exposes lives in
+``api.search`` / the operators and is tested there; these ~100 lines are
+routing + status codes, testable by calling the WSGI app directly.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+from typing import Callable, Iterable
+from urllib.parse import parse_qs
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _json_default(o):
+    if isinstance(o, (dt.date, dt.datetime)):
+        return o.isoformat()
+    raise TypeError(f"not JSON serializable: {type(o)!r}")
+
+
+class StatsChatApp:
+    """WSGI application wrapping one (SparkSession, index_dir) pair."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        *,
+        metadata: DataFrame | None = None,
+        feedback_path: str | None = None,
+        **search_kwargs,
+    ) -> None:
+        self.spark = spark
+        self.index_dir = index_dir
+        self.metadata = metadata
+        self.feedback_path = feedback_path
+        self.search_kwargs = search_kwargs
+
+    # ---- WSGI plumbing ----
+
+    def __call__(self, environ: dict, start_response: Callable) -> Iterable[bytes]:
+        method = environ.get("REQUEST_METHOD", "GET")
+        path = environ.get("PATH_INFO", "/")
+        try:
+            if method == "GET" and path == "/":
+                return self._respond(start_response, "200 OK", self._about())
+            if method == "GET" and path == "/search":
+                return self._search(environ, start_response)
+            if method == "POST" and path == "/feedback":
+                return self._feedback(environ, start_response)
+            return self._respond(
+                start_response, "404 Not Found", {"detail": "Not Found"}
+            )
+        except Exception as e:  # engine errors surface as 500, not a hang
+            return self._respond(
+                start_response,
+                "500 Internal Server Error",
+                {"detail": f"{type(e).__name__}: {e}"},
+            )
+
+    def _respond(
+        self, start_response: Callable, status: str, body: dict | str
+    ) -> list[bytes]:
+        if body == "":
+            start_response(status, [("Content-Length", "0")])
+            return [b""]
+        payload = json.dumps(body, default=_json_default).encode("utf-8")
+        start_response(
+            status,
+            [
+                ("Content-Type", "application/json"),
+                ("Content-Length", str(len(payload))),
+            ],
+        )
+        return [payload]
+
+    # ---- endpoints ----
+
+    def _about(self) -> dict:
+        return {
+            "title": "StatsChat-KE Spark search API",
+            "endpoints": {
+                "GET /search": "q (required), content_type=latest|all",
+                "POST /feedback": "rating (required), rating_comment, "
+                "question, content_type, answer",
+            },
+        }
+
+    def _search(self, environ: dict, start_response: Callable) -> list[bytes]:
+        qs = parse_qs(environ.get("QUERY_STRING", ""))
+        question = (qs.get("q", [""])[0] or "").strip()
+        if question in ("", "None"):
+            # main_api_cloud.py:97-99 — 422 on empty questions
+            return self._respond(
+                start_response,
+                "422 Unprocessable Entity",
+                {"detail": "Empty question"},
+            )
+        content_type = qs.get("content_type", ["latest"])[0]
+        if content_type not in ("latest", "all"):
+            # main_api_cloud.py:101-103 — unknown type falls back to latest
+            content_type = "latest"
+        from statschat_ke_spark.api import search
+
+        result = search(
+            self.spark,
+            self.index_dir,
+            question,
+            metadata=self.metadata,
+            latest_only=content_type == "latest",
+            **self.search_kwargs,
+        )
+        result["content_type"] = content_type
+        return self._respond(start_response, "200 OK", result)
+
+    def _feedback(self, environ: dict, start_response: Callable) -> list[bytes]:
+        try:
+            length = int(environ.get("CONTENT_LENGTH") or 0)
+            body = json.loads(environ["wsgi.input"].read(length) or b"{}")
+        except (ValueError, KeyError):
+            body = None
+        rating = body.get("rating") if isinstance(body, dict) else None
+        if not isinstance(rating, (str, int)) or isinstance(rating, bool):
+            # pydantic's required-field validation → 422
+            return self._respond(
+                start_response,
+                "422 Unprocessable Entity",
+                {"detail": "field required: rating (str or int)"},
+            )
+        record = {
+            k: body.get(k)
+            for k in ("rating", "rating_comment", "question", "content_type", "answer")
+            if k in body
+        }
+        if self.feedback_path:
+            os.makedirs(os.path.dirname(self.feedback_path) or ".", exist_ok=True)
+            with open(self.feedback_path, "a", encoding="utf-8") as fh:
+                fh.write(json.dumps(record, default=_json_default) + "\n")
+        # main_api_cloud.py:138-151 — 202, empty body
+        return self._respond(start_response, "202 Accepted", "")
+
+
+def serve(app: StatsChatApp, host: str = "127.0.0.1", port: int = 8000) -> None:
+    """Blocking dev server (the reference runs uvicorn; wsgiref is the
+    stdlib stand-in — swap for any WSGI server in production)."""
+    from wsgiref.simple_server import make_server
+
+    with make_server(host, port, app) as httpd:
+        httpd.serve_forever()

@@ -61,3 +61,131 @@ def test_search_degraded_without_metadata(spark, index_dir):
     refs = out["references"]
     assert 1 <= len(refs) <= 3
     assert [r["doc_num"] for r in refs] == list(range(1, len(refs) + 1))
+
+
+# ---- HTTP façade (api_http.py — reference fast-api/main_api_cloud.py) ----
+
+
+class _WSGIClient:
+    """Drive the WSGI app without a socket."""
+
+    def __init__(self, app):
+        self.app = app
+
+    def request(self, method, path, query="", body=None):
+        import io
+
+        raw = b"" if body is None else body
+        environ = {
+            "REQUEST_METHOD": method,
+            "PATH_INFO": path,
+            "QUERY_STRING": query,
+            "CONTENT_LENGTH": str(len(raw)),
+            "wsgi.input": io.BytesIO(raw),
+        }
+        captured = {}
+
+        def start_response(status, headers):
+            captured["status"] = status
+            captured["headers"] = dict(headers)
+
+        chunks = b"".join(self.app(environ, start_response))
+        import json as _json
+
+        parsed = _json.loads(chunks) if chunks else None
+        return int(captured["status"].split()[0]), parsed
+
+
+@pytest.fixture(scope="module")
+def http_client(spark, index_dir, metadata, tmp_path_factory):
+    from statschat_ke_spark.api_http import StatsChatApp
+
+    fb = str(tmp_path_factory.mktemp("fb") / "feedback.jsonl")
+    app = StatsChatApp(
+        spark,
+        index_dir,
+        metadata=metadata,
+        feedback_path=fb,
+        now="2024-01-01",
+    )
+    return _WSGIClient(app), fb
+
+
+def test_http_search(http_client):
+    client, _ = http_client
+    code, body = client.request(
+        "GET", "/search", "q=what+was+inflation+in+december+2023&content_type=all"
+    )
+    assert code == 200
+    assert body["content_type"] == "all"
+    assert body["question"].startswith("what was inflation")
+    assert 1 <= len(body["references"]) <= 5
+    assert body["references"][0]["doc_num"] == 1
+
+
+def test_http_search_fallback_content_type(http_client):
+    client, _ = http_client
+    code, body = client.request("GET", "/search", "q=inflation&content_type=bogus")
+    assert code == 200
+    assert body["content_type"] == "latest"  # unknown type falls back
+
+
+def test_http_search_empty_question_422(http_client):
+    client, _ = http_client
+    for q in ("", "q=", "q=++"):
+        code, body = client.request("GET", "/search", q)
+        assert code == 422
+        assert "Empty question" in body["detail"]
+
+
+def test_http_feedback(http_client):
+    import json as _json
+
+    client, fb = http_client
+    code, body = client.request(
+        "POST",
+        "/feedback",
+        body=_json.dumps({"rating": 1, "rating_comment": "good"}).encode(),
+    )
+    assert code == 202 and body is None
+    code, _ = client.request("POST", "/feedback", body=b'{"rating_comment": "x"}')
+    assert code == 422  # rating required
+    code, _ = client.request("POST", "/feedback", body=b"not json")
+    assert code == 422
+    with open(fb) as fh:
+        lines = [_json.loads(ln) for ln in fh]
+    assert lines == [{"rating": 1, "rating_comment": "good"}]
+
+
+def test_http_root_and_404(http_client):
+    client, _ = http_client
+    code, body = client.request("GET", "/")
+    assert code == 200 and "endpoints" in body
+    code, _ = client.request("GET", "/nope")
+    assert code == 404
+
+
+def test_search_latest_only_filters(spark, index_dir, metadata):
+    # latest_only + a latest flag column: non-latest docs drop from refs
+    from pyspark.sql import functions as F
+
+    md = metadata.withColumn("latest", F.lit(False))
+    out = search(
+        spark,
+        index_dir,
+        "inflation",
+        metadata=md,
+        latest_only=True,
+        now="2024-01-01",
+    )
+    assert out["references"] == []
+    md_all = metadata.withColumn("latest", F.lit(True))
+    out2 = search(
+        spark,
+        index_dir,
+        "inflation",
+        metadata=md_all,
+        latest_only=True,
+        now="2024-01-01",
+    )
+    assert len(out2["references"]) >= 1
