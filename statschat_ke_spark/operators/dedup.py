@@ -188,14 +188,26 @@ def minhash_lsh_pairs(
     )
     sized = banded.join(F.broadcast(oversized), ["band", "bh"], "left_anti")
 
-    left = sized.select("band", "bh", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    right = sized.select("band", "bh", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = (
+    # KEY-ONLY candidate generation: the band self-join and the pair-dedup
+    # shuffle carry nothing but (band, bh, id) — 16 B/row. A doc's shingle
+    # set (KBs for a web page) would otherwise be replicated bands× through
+    # the join and ride every candidate row until dropDuplicates; at corpus
+    # scale that is shuffle-bytes ∝ bands × total shingle volume instead of
+    # ∝ candidate count (same ~200× reduction measured for the identical fix
+    # in similarity.py embedding_near_dup_pairs). Shingle sets are joined
+    # back AFTER dedup, once per surviving pair side, for the exact verify.
+    left = sized.select("band", "bh", F.col("id").alias("id_a"))
+    right = sized.select("band", "bh", F.col("id").alias("id_b"))
+    cand = (
         left.join(right, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sets = sigs.select("id", "sh")
+    pairs = cand.join(
+        sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
