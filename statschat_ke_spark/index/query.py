@@ -81,7 +81,13 @@ def _probe_dfs(spark: SparkSession, index_dir: str, ids: list[int]) -> dict[int,
     """df per term_id (summed over lexicon segments), probe-cached."""
     key = (index_dir, _index_version(index_dir))
     if key not in _PROBE_CACHE:
-        if len(_PROBE_CACHE) > 8:  # old index versions / other dirs
+        # Evict superseded versions of THIS index_dir (a long-lived driver
+        # running ingest_stream gets a fresh commit uuid per append, so
+        # without eviction the cache grows one dead dict per append); keep
+        # other dirs' live entries, with a global cap as a backstop.
+        for stale in [k for k in _PROBE_CACHE if k[0] == index_dir]:
+            del _PROBE_CACHE[stale]
+        if len(_PROBE_CACHE) > 8:  # many distinct dirs — backstop
             _PROBE_CACHE.clear()
         _PROBE_CACHE[key] = {}
     cache = _PROBE_CACHE[key]
@@ -130,6 +136,29 @@ def _empty_result(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], RESULT_SCHEMA)
 
 
+# Observability for the auto-mode decision (the result schema is contract-
+# fixed, so the chosen mode can't ride in the DataFrame): updated on every
+# topk() call with the resolved mode, the query's Σdf and the threshold used.
+LAST_QUERY_INFO: dict = {}
+
+
+def auto_mode_threshold(n_docs: int) -> int:
+    """Σdf crossover between exhaustive and WAND, derived from corpus size.
+
+    Exhaustive is one streaming decode of Σdf postings; WAND adds metadata
+    machinery (interval sweep + per-group θ warm-up of ~k decoded blocks)
+    that only pays when the decode volume it can prune is large. Both the
+    exhaustive decode cost and WAND's prunable volume scale linearly with
+    n_docs at fixed query-term commonness, so the stable quantity is the
+    RATIO Σdf/n_docs, not an absolute posting count: measured crossover on
+    the 270k-doc corpus was ≈2M ≈ 8×n_docs (BENCH_LARGE), and the 8×n_docs
+    form carries that operating point to any corpus size. The 64×BLOCK floor
+    keeps tiny test corpora from routing single-block queries through WAND's
+    group machinery.
+    """
+    return max(64 * BLOCK, 8 * n_docs)
+
+
 def topk(
     spark: SparkSession,
     index_dir: str,
@@ -137,23 +166,30 @@ def topk(
     k: int = 10,
     *,
     mode: str = "auto",
+    auto_threshold: int | None = None,
     with_url: bool = False,
 ) -> DataFrame:
     """Top-k (doc_id, score[, url, rank]) for a free-text query.
 
     ``mode``: ``wand`` (block-max skipping), ``exhaustive`` (decode
     everything), or ``auto`` — picks exhaustive when the query's Σdf (known
-    from the lexicon probe, no extra job) is small enough that decoding
-    everything is cheaper than pruning machinery, wand when posting volume
-    is what dominates. Both modes are rank-identical (property-tested).
+    from the lexicon probe, no extra job) is below ``auto_threshold``
+    (default: derived from the corpus size — see ``auto_mode_threshold``),
+    wand when posting volume is what dominates. Both modes are
+    rank-identical (property-tested). The resolved mode is recorded in
+    ``LAST_QUERY_INFO`` for observability.
     """
     terminfo = _query_terms(spark, index_dir, query_text)
     if not terminfo:
         res = _empty_result(spark)
+        LAST_QUERY_INFO.update(mode="empty", total_df=0, threshold=None)
     else:
+        total_df = sum(v["df"] for v in terminfo.values())
         if mode == "auto":
-            total_df = sum(v["df"] for v in terminfo.values())
-            mode = "exhaustive" if total_df < 2_000_000 else "wand"
+            if auto_threshold is None:
+                auto_threshold = auto_mode_threshold(int(load_stats(index_dir)["n_docs"]))
+            mode = "exhaustive" if total_df < auto_threshold else "wand"
+        LAST_QUERY_INFO.update(mode=mode, total_df=total_df, threshold=auto_threshold)
         ids = list(terminfo.keys())
         stats = load_stats(index_dir)
         avgdl = float(stats["avgdl"])
@@ -176,7 +212,6 @@ def topk(
             # small volume, up to 4×parallelism for big scans. Doc ranges of
             # distinct slices are disjoint, so ANY slice partition keeps
             # per-group local top-k + global TakeOrdered exact.
-            total_df = sum(v["df"] for v in terminfo.values())
             par = spark.sparkContext.defaultParallelism
             n_groups = int(max(1, min(4 * par, (total_df // BLOCK) // 512 + 1)))
             grouped = pst.withColumn("wg", F.pmod(F.col("slice"), F.lit(n_groups)))
@@ -209,6 +244,8 @@ def topk_batch(
     index_dir: str,
     queries: dict[int, str],
     k: int = 10,
+    *,
+    n_qb: int | None = None,
 ) -> DataFrame:
     """Top-k for MANY queries in ONE job: (query_id, rank, doc_id, score).
 
@@ -278,7 +315,12 @@ def topk_batch(
     # expensive rows — are exactly the ones worth replicating. n_qb is
     # sized so seg*wg*qb tasks roughly fill the cluster and stays 1 for
     # single-query-scale batches (no plan change, no extra shuffle bytes).
-    n_qb = int(max(1, min(len(idf_by_q), -(-par // n_groups))))
+    # ``n_qb`` may be forced by the caller (rank-identity tests exercise
+    # bucket counts > 1 regardless of parallelism).
+    if n_qb is None:
+        n_qb = int(max(1, min(len(idf_by_q), -(-par // n_groups))))
+    else:
+        n_qb = int(max(1, min(len(idf_by_q), n_qb)))
 
     def run_slice(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         qb = int(key[2])

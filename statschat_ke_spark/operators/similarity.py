@@ -11,7 +11,8 @@ JVM-side higher-order functions — no Python in the scan path.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, functions as F
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
 
 
 def _dot(a, b) -> F.Column:
@@ -46,8 +47,25 @@ def cosine_topk(
     )
 
 
+def _planes(nbits: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic hyperplanes — the single source of truth shared by the
+    driver-side (lsh_index/lsh_topk) and UDF-internal (near-dup) paths, so
+    buckets computed either way agree for the same (nbits, dim, seed)."""
+    return np.random.default_rng(seed).standard_normal((nbits, dim))
+
+
+# Above this many nbits×dim literal terms the JVM expression tree (one
+# F.array of dim literals per plane) becomes a Catalyst plan-size /
+# codegen-compile hazard (64 bits × 768 dims ≈ 50k literals); the Arrow UDF
+# with a closure numpy plane matrix takes over.
+MAX_JVM_SIG_TERMS = 4096
+
+
 def hyperplane_signature(vec_col: F.Column, planes: np.ndarray) -> F.Column:
-    """LSH signature: sign bits of <v, h_i> packed into a long (JVM-side)."""
+    """LSH signature: sign bits of <v, h_i> packed into a long (JVM-side).
+
+    Suited to small nbits×dim (inlines one literal per plane coefficient);
+    for high-dim embeddings use ``hyperplane_signature_arrow``."""
     bits = [
         F.when(_dot(vec_col, F.array(*[F.lit(float(x)) for x in h])) > 0, 1 << i).otherwise(0)
         for i, h in enumerate(planes)
@@ -56,6 +74,48 @@ def hyperplane_signature(vec_col: F.Column, planes: np.ndarray) -> F.Column:
     for b in bits:
         out = out.bitwiseOR(b)
     return out.cast("long")
+
+
+def hyperplane_signature_arrow(
+    vec_col,
+    *,
+    planes: np.ndarray | None = None,
+    nbits: int | None = None,
+    seed: int = 42,
+) -> F.Column:
+    """LSH signature as one Arrow-batched matmul — the high-dim path.
+
+    The plane matrix rides the UDF closure (numpy, broadcast to workers once
+    per task) instead of being inlined as nbits×dim Catalyst literals, so
+    plan size is O(1) in dimensionality: (batch, dim) @ (dim, nbits) → sign
+    bits → packed int64. Pass ``planes`` explicitly, or just ``nbits`` to
+    have the matrix generated lazily from the first batch's vector length
+    (deterministic — same ``_planes(nbits, dim, seed)`` the driver path
+    uses, so no driver-side job is ever needed to learn ``dim``).
+
+    Bit-packing parity with ``hyperplane_signature``: bit i is the sign of
+    <v, planes[i]> computed in float64. Null/empty vectors get signature 0.
+    """
+    if planes is None and nbits is None:
+        raise TypeError("pass planes or nbits")
+    state: dict = {"planes": planes}
+
+    @F.pandas_udf(T.LongType())
+    def sig(v: pd.Series) -> pd.Series:
+        ok = np.array([x is not None and len(x) > 0 for x in v], dtype=bool)
+        out = np.zeros(len(v), dtype=np.int64)
+        if not ok.any():
+            return pd.Series(out)
+        mat = np.array([np.asarray(x, dtype=np.float64) for x, o in zip(v, ok) if o])
+        if state["planes"] is None:
+            state["planes"] = _planes(nbits, mat.shape[1], seed)
+        proj = mat @ state["planes"].T  # (n, nbits)
+        weights = np.uint64(1) << np.arange(proj.shape[1], dtype=np.uint64)
+        packed = ((proj > 0).astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        out[ok] = packed.view(np.int64)
+        return pd.Series(out)
+
+    return sig(vec_col)
 
 
 def lsh_index(
@@ -68,13 +128,27 @@ def lsh_index(
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, np.ndarray]:
     """Attach an LSH bucket id to every vector. At scale, write this out
-    partitioned by ``bucket`` so probes prune partitions."""
+    partitioned by ``bucket`` so probes prune partitions.
+
+    ``dim`` is required: the caller gets the plane matrix back (for query
+    signatures), and inferring dim from data would mean a hidden Spark job
+    inside a library function. Picks the JVM literal expression for small
+    nbits×dim and the Arrow-UDF matmul beyond ``MAX_JVM_SIG_TERMS`` — both
+    produce identical buckets for the same planes.
+    """
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((nbits, dim))
-    with_sig = emb.withColumn("bucket", hyperplane_signature(F.col(vec_col), planes))
-    return with_sig, planes
+        raise TypeError(
+            "lsh_index requires dim (the embedding array length): inferring it "
+            "would trigger a hidden Spark job. Callers that don't need the "
+            "plane matrix can use hyperplane_signature_arrow(nbits=...) which "
+            "derives dim lazily from the first Arrow batch."
+        )
+    planes = _planes(nbits, dim, seed)
+    if nbits * dim <= MAX_JVM_SIG_TERMS:
+        sig = hyperplane_signature(F.col(vec_col), planes)
+    else:
+        sig = hyperplane_signature_arrow(F.col(vec_col), planes=planes)
+    return emb.withColumn("bucket", sig), planes
 
 
 def lsh_topk(
@@ -168,7 +242,12 @@ def embedding_near_dup_pairs(
     reported via ``return_dropped=True`` — same guard as
     ``minhash_lsh_pairs``. Verified in pytest against ``cosine_pairs`` on
     planted duplicates."""
-    indexed, planes = lsh_index(emb, nbits=nbits, seed=seed, id_col=id_col, vec_col=vec_col)
+    # Bucket via the Arrow-UDF signature with lazy dim: no driver-side job to
+    # learn the embedding length, and no plan blow-up at high dimensionality
+    # (the plane matrix lives in the UDF closure, not as Catalyst literals).
+    indexed = emb.withColumn(
+        "bucket", hyperplane_signature_arrow(F.col(vec_col), nbits=nbits, seed=seed)
+    )
     # probe expansion: each vector claims its bucket and all 1-bit flips, so
     # any pair within Hamming distance 1 of each other shares a claimed key
     keys = F.array(

@@ -390,3 +390,71 @@ def test_embedding_near_dup_hot_bucket_cap(spark):
     }
     for k, v in exact.items():
         assert k in got and abs(got[k] - v) < 1e-9
+
+
+def test_hyperplane_signature_arrow_jvm_parity(spark):
+    """Arrow-UDF signatures == JVM literal-expression signatures for the
+    same (nbits, dim, seed) planes, including lazy-dim plane generation."""
+    import numpy as np
+    from pyspark.sql import Row, functions as F
+    from statschat_ke_spark.operators.similarity import (
+        _planes,
+        hyperplane_signature,
+        hyperplane_signature_arrow,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((64, 16))
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    planes = _planes(6, 16, 42)
+    got = emb.select(
+        "vec_id",
+        hyperplane_signature(F.col("embedding"), planes).alias("jvm"),
+        hyperplane_signature_arrow(F.col("embedding"), planes=planes).alias("arrow"),
+        hyperplane_signature_arrow(F.col("embedding"), nbits=6, seed=42).alias("lazy"),
+    ).toPandas()
+    assert (got.jvm == got.arrow).all()
+    assert (got.jvm == got.lazy).all()
+
+
+def test_lsh_highdim_no_plan_blowup(spark):
+    """dim=768 / nbits=16 routes through the Arrow path (12k > MAX_JVM_SIG_TERMS
+    literal terms would be a Catalyst plan hazard) and completes end-to-end."""
+    import numpy as np
+    from pyspark.sql import Row
+    from statschat_ke_spark.operators.similarity import lsh_index, lsh_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((200, 768))
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    indexed, planes = lsh_index(emb, nbits=16, dim=768)
+    assert planes.shape == (16, 768)
+    got = lsh_topk(indexed, planes, list(vecs[3]), k=5).toPandas()
+    assert len(got) >= 1
+    assert got.vec_id.iloc[0] == 3  # the query vector itself is its own top hit
+
+
+def test_lsh_index_requires_dim_and_runs_no_job(spark):
+    """lsh_index must not trigger a hidden Spark action: dim is required,
+    and constructing the signature plan runs zero jobs."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row, DataFrame
+    from statschat_ke_spark.operators.similarity import lsh_index
+
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in rng.standard_normal(8)]) for i in range(4)]
+    )
+    with pytest.raises(TypeError, match="dim"):
+        lsh_index(emb)
+
+    # any action during plan construction would show up as a new job
+    before = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    lsh_index(emb, nbits=8, dim=8)
+    after = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    assert after == before
