@@ -47,18 +47,32 @@ def search(
     now: str | None = None,
     metadata: DataFrame | None = None,
     latest_only: bool = False,
+    fetch_k: int | None = None,
     highlight: bool = True,
     mode: str = "auto",
 ) -> dict:
     """Answer one question: returns the reference's response shape
     (main_api_cloud.py:111-120) minus the LLM answer —
-    ``{question, latest_weight, references: [...]}``."""
+    ``{question, latest_weight, references: [...]}``.
+
+    ``fetch_k``: candidates retrieved before post-retrieval filtering.
+    Defaults to ``k`` — except under ``latest_only``, where it defaults to
+    ``4 * k`` so the latest-filter join still has a full k latest hits to
+    return when non-latest docs crowd the raw top-k (the reference gets the
+    same guarantee by querying a dedicated latest-only FAISS store,
+    cloud_llm.py:115-148 ``db_latest``; over-fetch + filter + truncate is
+    the single-index equivalent)."""
     q = (question or "").strip()
     if not q:
         # P10 — the reference 422s on empty questions
         return {"question": "", "latest_weight": None, "references": []}
 
-    hits = topk(spark, index_dir, q, k=k, mode=mode, with_url=True)
+    will_filter_latest = (
+        latest_only and metadata is not None and "latest" in metadata.columns
+    )
+    if fetch_k is None:
+        fetch_k = 4 * k if will_filter_latest else k
+    hits = topk(spark, index_dir, q, k=max(fetch_k, k), mode=mode, with_url=True)
 
     lw_row = (
         spark.range(1)
@@ -71,17 +85,23 @@ def search(
     lw, q_escaped = float(lw_row.lw), str(lw_row.q_esc)
 
     if metadata is not None:
-        if latest_only and "latest" in metadata.columns:
+        if will_filter_latest:
             # P4 — the reference's content_type="latest" restriction
-            # (main_api_cloud.py:100-110 → make_query latest_filter). Like
-            # the reference (LangChain FAISS filters AFTER fetching fetch_k
-            # candidates), this filters post-retrieval: fetch k, keep the
+            # (main_api_cloud.py:100-110 → make_query latest_filter). The
+            # reference serves this from a dedicated latest-only store
+            # (cloud_llm.py:115-148 db_latest) and so always has k latest
+            # hits; here we over-fetch (fetch_k candidates), keep the
             # latest-flagged subset via an inner join against the filtered
-            # metadata, so non-latest docs drop out of the references.
-            hits = hits.join(
-                F.broadcast(metadata.filter(F.col("latest")).drop("latest")),
-                "doc_id",
-                "inner",
+            # metadata, and truncate back to the best k — same guarantee
+            # unless >fetch_k-k non-latest docs outrank the kth latest one.
+            hits = (
+                hits.join(
+                    F.broadcast(metadata.filter(F.col("latest")).drop("latest")),
+                    "doc_id",
+                    "inner",
+                )
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
             )
         else:
             hits = hits.join(F.broadcast(metadata), "doc_id", "left")

@@ -39,6 +39,28 @@ def _json_default(o):
     raise TypeError(f"not JSON serializable: {type(o)!r}")
 
 
+DEFAULT_FEEDBACK_MAX_BYTES = 64 << 20
+
+
+def _append_feedback_line(path: str, line: str, max_bytes: int) -> None:
+    """Durable JSON-line append: O_APPEND single-write (atomic interleaving
+    between concurrent writers on POSIX) + fsync, with size-based rotation —
+    at ``max_bytes`` the live file is renamed to ``path + ".1"`` (one rotated
+    generation kept; swap this hook for shipping/compression in production)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        if max_bytes and os.path.getsize(path) >= max_bytes:
+            os.replace(path, path + ".1")
+    except OSError:
+        pass  # no live file yet
+    fd = os.open(path, os.O_APPEND | os.O_CREAT | os.O_WRONLY, 0o644)
+    try:
+        os.write(fd, line.encode("utf-8"))
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 class StatsChatApp:
     """WSGI application wrapping one (SparkSession, index_dir) pair."""
 
@@ -49,12 +71,14 @@ class StatsChatApp:
         *,
         metadata: DataFrame | None = None,
         feedback_path: str | None = None,
+        feedback_max_bytes: int = DEFAULT_FEEDBACK_MAX_BYTES,
         **search_kwargs,
     ) -> None:
         self.spark = spark
         self.index_dir = index_dir
         self.metadata = metadata
         self.feedback_path = feedback_path
+        self.feedback_max_bytes = feedback_max_bytes
         self.search_kwargs = search_kwargs
 
     # ---- WSGI plumbing ----
@@ -121,6 +145,13 @@ class StatsChatApp:
         if content_type not in ("latest", "all"):
             # main_api_cloud.py:101-103 — unknown type falls back to latest
             content_type = "latest"
+        if content_type == "latest" and (
+            self.metadata is None or "latest" not in self.metadata.columns
+        ):
+            # Latest filtering needs a metadata 'latest' column; without it
+            # the response must not CLAIM a filter that never ran — fall
+            # back to content_type="all" so the echoed field is honest.
+            content_type = "all"
         from statschat_ke_spark.api import search
 
         result = search(
@@ -154,9 +185,11 @@ class StatsChatApp:
             if k in body
         }
         if self.feedback_path:
-            os.makedirs(os.path.dirname(self.feedback_path) or ".", exist_ok=True)
-            with open(self.feedback_path, "a", encoding="utf-8") as fh:
-                fh.write(json.dumps(record, default=_json_default) + "\n")
+            _append_feedback_line(
+                self.feedback_path,
+                json.dumps(record, default=_json_default) + "\n",
+                self.feedback_max_bytes,
+            )
         # main_api_cloud.py:138-151 — 202, empty body
         return self._respond(start_response, "202 Accepted", "")
 

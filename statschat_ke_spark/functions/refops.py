@@ -340,6 +340,16 @@ def _lcs_batch_u64(xs: list[str], ys: list[str]):
     return (mlen - pc).astype(np.int64)
 
 
+# Batched-LCS guards: pairs whose (lowercased) longer string exceeds
+# _LCS_BATCH_MAX_Y run the scalar big-int path instead of inflating the
+# whole batch's padded matrix; within the batch, pairs are processed in
+# y-length-sorted chunks of _LCS_BATCH_CHUNK so padding tracks each chunk's
+# own max (a 10k-row batch with one 100k-char y would otherwise allocate a
+# ~4 GB (p, ylen) matrix and run 100k column steps for every pair).
+_LCS_BATCH_MAX_Y = 4096
+_LCS_BATCH_CHUNK = 2048
+
+
 @F.pandas_udf(T.DoubleType())
 def fuzz_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """F14 — rapidfuzz.fuzz.ratio parity (latest_updates.py:46,
@@ -372,14 +382,25 @@ def fuzz_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
             xl, yl = yl, xl
         if not xl:
             continue  # LCS = 0
-        if len(xl) <= 64:
+        if len(xl) <= 64 and len(yl) <= _LCS_BATCH_MAX_Y:
             batch_idx.append(i)
             batch_x.append(xl)
             batch_y.append(yl)
             batch_denom.append(len(x) + len(y))
         else:
+            # long-y outliers go scalar: the batched kernel pads every pair
+            # to the batch-max y length, so one 100k-char y would inflate
+            # memory and column steps for the entire batch
             out[i] = 200.0 * _lcs_len_bitparallel(xl, yl) / (len(x) + len(y))
     if batch_idx:
-        lcs = _lcs_batch_u64(batch_x, batch_y)
-        out[np.asarray(batch_idx)] = 200.0 * lcs / np.asarray(batch_denom)
+        # process in y-length-sorted chunks so each chunk pads only to ITS
+        # max y — a mixed batch of short titles and a few near-bound ys no
+        # longer charges every pair for the longest one
+        order = sorted(range(len(batch_idx)), key=lambda t: len(batch_y[t]))
+        for s in range(0, len(order), _LCS_BATCH_CHUNK):
+            sel = order[s : s + _LCS_BATCH_CHUNK]
+            lcs = _lcs_batch_u64([batch_x[t] for t in sel], [batch_y[t] for t in sel])
+            out[np.asarray([batch_idx[t] for t in sel])] = (
+                200.0 * lcs / np.asarray([batch_denom[t] for t in sel])
+            )
     return pd.Series(out)

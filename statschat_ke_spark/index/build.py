@@ -541,18 +541,23 @@ def update_index(
     pending = sorted(
         staged_chunks(spark, index_dir) - covered_chunks(index_dir)
     )
+    appended = list(pending)
     result = None
     for c in pending:
         result = append_segment(spark, index_dir, c, num_partitions=P)
     if result is None:  # fully covered already (pure replay)
         result = append_segment(spark, index_dir, next_chunk, num_partitions=P)
+        appended = [next_chunk]
     compacted = maybe_compact(
         spark, index_dir, max_segments=max_segments, num_partitions=P
     )
     if compacted is not None:
         result = compacted
-    result.chunks_processed = len(pending)
-    result.chunks_skipped = len(done)
+    # processed = chunks this call actually packed into a segment;
+    # skipped = previously-staged chunks NOT (re)packed now — disjoint by
+    # construction, so a reconciled orphan counts once, as processed.
+    result.chunks_processed = len(appended)
+    result.chunks_skipped = len(set(done) - set(appended))
     result.wall_s = time.time() - t0
     return result
 

@@ -124,10 +124,26 @@ def test_http_search(http_client):
 
 
 def test_http_search_fallback_content_type(http_client):
+    # unknown type falls back to "latest" — but this app's metadata has no
+    # 'latest' column, so the response must not claim a filter that never
+    # ran: content_type is forced to "all" (honest-echo rule)
     client, _ = http_client
     code, body = client.request("GET", "/search", "q=inflation&content_type=bogus")
     assert code == 200
-    assert body["content_type"] == "latest"  # unknown type falls back
+    assert body["content_type"] == "all"
+
+
+def test_http_search_latest_echo_with_latest_metadata(spark, index_dir, metadata):
+    # with a real 'latest' column the fallback chain stops at "latest"
+    from statschat_ke_spark.api_http import StatsChatApp
+
+    md = metadata.withColumn("latest", F.lit(True))
+    app = StatsChatApp(spark, index_dir, metadata=md, now="2024-01-01")
+    client = _WSGIClient(app)
+    code, body = client.request("GET", "/search", "q=inflation&content_type=bogus")
+    assert code == 200
+    assert body["content_type"] == "latest"
+    assert len(body["references"]) >= 1
 
 
 def test_http_search_empty_question_422(http_client):
@@ -189,3 +205,76 @@ def test_search_latest_only_filters(spark, index_dir, metadata):
         now="2024-01-01",
     )
     assert len(out2["references"]) >= 1
+
+
+def test_search_latest_only_overfetch_fills_k(spark, index_dir, metadata):
+    """latest_only must return a full candidate set even when non-latest
+    docs crowd the raw top-k: retrieval over-fetches (fetch_k=4k default)
+    before the latest join and truncates after (ADVICE r3 medium)."""
+    q = "county inflation report"
+    baseline = search(spark, index_dir, q, k=3, k_contexts=3, now="2024-01-01",
+                      metadata=metadata)
+    top_ids = {r["doc_id"] for r in baseline["references"]}
+    assert top_ids
+    # flag exactly the raw top hits as NON-latest; everything else is latest
+    md = metadata.withColumn(
+        "latest", ~F.col("doc_id").isin([int(i) for i in top_ids])
+    )
+    out = search(spark, index_dir, q, k=3, k_contexts=3, now="2024-01-01",
+                 metadata=md, latest_only=True)
+    refs = out["references"]
+    # the previously-top (non-latest) docs are gone, and over-fetch still
+    # found k latest replacements instead of returning an empty/short list
+    assert len(refs) == 3
+    assert not top_ids & {r["doc_id"] for r in refs}
+
+
+def test_feedback_concurrent_append_and_rotation(spark, index_dir, tmp_path):
+    """S13 sink durability: concurrent appends interleave without tearing
+    (O_APPEND single-write), and the size-based rotation hook kicks in."""
+    import json as _json
+    import threading
+
+    from statschat_ke_spark.api_http import StatsChatApp
+
+    fb = str(tmp_path / "fb.jsonl")
+    app = StatsChatApp(spark, index_dir, feedback_path=fb)
+    client = _WSGIClient(app)
+
+    n_threads, per_thread = 8, 25
+    errors = []
+
+    def hammer(tid):
+        try:
+            for i in range(per_thread):
+                body = _json.dumps(
+                    {"rating": tid, "rating_comment": f"t{tid}-i{i}-" + "x" * 50}
+                ).encode()
+                code, _ = client.request("POST", "/feedback", body=body)
+                assert code == 202
+        except Exception as e:  # surfaced below — don't swallow in thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=hammer, args=(t,)) for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    with open(fb) as fh:
+        lines = [_json.loads(ln) for ln in fh]  # every line parses — no tears
+    assert len(lines) == n_threads * per_thread
+    seen = {(r["rating"], r["rating_comment"]) for r in lines}
+    assert len(seen) == n_threads * per_thread
+
+    # rotation: cap small enough that the next append rotates the live file
+    app2 = StatsChatApp(spark, index_dir, feedback_path=fb, feedback_max_bytes=1024)
+    client2 = _WSGIClient(app2)
+    code, _ = client2.request("POST", "/feedback", body=b'{"rating": 99}')
+    assert code == 202
+    import os as _os
+
+    assert _os.path.exists(fb + ".1")  # old generation rotated aside
+    with open(fb) as fh:
+        live = [_json.loads(ln) for ln in fh]
+    assert live == [{"rating": 99}]

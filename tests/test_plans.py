@@ -1,0 +1,84 @@
+"""Plan-regression guard (VERDICT r3 item 8): the three headline relational
+plans must keep their load-bearing physical properties — broadcast joins on
+the dims, filters pushed to the parquet scan, TakeOrderedAndProject instead
+of a global sort. `scripts/check_contract.py` verifies RESULTS; this pins the
+PLANS, so a future refactor can't silently regress to a shuffle join or an
+unpushed filter while staying numerically correct. Invariants mirror the
+captures in PLANS.md.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def entry_queries():
+    import __spark_entry__ as E
+
+    return E.queries()
+
+
+def test_q3_plan_invariants(spark, entry_queries):
+    plan = _formatted_plan(spark, entry_queries["q3_shipping_priority"](spark, SF_DIR))
+    # top-k via TakeOrderedAndProject — never a global Sort + CollectLimit
+    assert "TakeOrderedAndProject" in plan
+    # the customer dim rides a broadcast hash join
+    assert "BroadcastHashJoin" in plan
+    # all three scan-level filters reach parquet
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q1_plan_invariants(spark, entry_queries):
+    plan = _formatted_plan(spark, entry_queries["q1_pricing_summary"](spark, SF_DIR))
+    # shipdate predicate pushed to the lineitem scan, agg partial+final
+    assert "LessThanOrEqual(l_shipdate" in plan
+    assert "HashAggregate" in plan
+    # projection pruned: no lineitem column outside the 7 used ones is read
+    assert "l_comment" not in plan
+
+
+def test_broadcast_join_plan_invariants(spark, entry_queries):
+    plan = _formatted_plan(
+        spark, entry_queries["broadcast_join_orders_by_nation"](spark, SF_DIR)
+    )
+    # both dims broadcast — the fact side never shuffles for the join
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_topk_pushes_term_ids(spark, entry_queries):
+    """The postings scan must push the query's term_id set into the parquet
+    reader (In(term_id, ...)) — the row-group-pruning contract that keeps a
+    selective query from reading the whole postings table."""
+    from statschat_ke_spark.functions.hashing import xxhash64_str
+
+    import __spark_entry__ as E
+
+    # index built (cached) exactly the way the driver-facing entry does
+    idx = E._ensure_index(spark, SF_DIR)
+    import os
+
+    from pyspark.sql import functions as F
+
+    tid = xxhash64_str("inflation")
+    pst = (
+        spark.read.parquet(os.path.join(idx, "postings"))
+        .filter(F.col("term_id").isin([tid]))
+        .select("term_id", "block_id")
+    )
+    plan = _formatted_plan(spark, pst)
+    assert f"EqualTo(term_id,{tid})" in plan or "In(term_id" in plan or (
+        f"{tid}" in plan and "PushedFilters" in plan
+    )
