@@ -84,6 +84,52 @@ def _materialize_corpus(n_docs: int) -> str:
     return input_dir
 
 
+def _decoded_fraction(spark, idx: str, q: str, k: int = 10):
+    """Fraction of the query's posting blocks the WAND path actually
+    decodes — exact: replays topk's own grouping and _wand_slice over the
+    collected postings with the block decoder wrapped by a counter."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from statschat_ke_spark.index import query as Q
+
+    terminfo = Q._query_terms(spark, idx, q)
+    if not terminfo:
+        return None
+    ids = list(terminfo)
+    stats = Q.load_stats(idx)
+    avgdl = float(stats["avgdl"])
+    pst = (
+        spark.read.parquet(os.path.join(idx, "postings"))
+        .filter(F.col("term_id").isin(ids))
+        .select("seg", "term_id", "slice", "block_id", "n", "doc_ids", "tfs",
+                "dls", "block_max_tf", "block_min_dl", "first_doc", "last_doc")
+        .toPandas()
+    )
+    if not len(pst):
+        return None
+    idf_map = {t: v["idf"] for t, v in terminfo.items()}
+    total_df = sum(v["df"] for v in terminfo.values())
+    par = spark.sparkContext.defaultParallelism
+    n_groups = int(max(1, min(4 * par, (total_df // Q.BLOCK) // 512 + 1)))
+    decoded = {"n": 0}
+    orig = Q._TermBlocks.partials
+
+    def counting(self, j):
+        if j not in self._cache:
+            decoded["n"] += 1
+        return orig(self, j)
+
+    Q._TermBlocks.partials = counting
+    try:
+        runner = Q._wand_slice(idf_map, avgdl, k)
+        for _, g in pst.groupby([pst["seg"], pst["slice"] % n_groups]):
+            runner(g)
+    finally:
+        Q._TermBlocks.partials = orig
+    return decoded["n"] / len(pst)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int,
@@ -93,6 +139,9 @@ def main() -> None:
     ap.add_argument("--skip-build", action="store_true",
                     help="reuse an existing /tmp index (same format) and "
                          "merge new query numbers into the existing report")
+    ap.add_argument("--queries-only", action="store_true",
+                    help="skip the incremental-update and segment-count "
+                         "sections (each implies extra full builds)")
     ap.add_argument("--out", type=str, default=os.path.join(REPO, "BENCH_LARGE.json"))
     args = ap.parse_args()
 
@@ -106,7 +155,9 @@ def main() -> None:
                     "repeats": args.repeats}
 
     # ---- 1. full index build (file-listing input path) ----
-    idx = os.path.join(tempfile.gettempdir(), "statschat_large_idx")
+    # tmp artifacts are scale-suffixed so runs at different --n-docs never
+    # reuse each other's indexes (the 300k and 1M runs coexist)
+    idx = os.path.join(tempfile.gettempdir(), f"statschat_large_idx_{args.n_docs}")
     if args.skip_build and os.path.exists(os.path.join(idx, "_SUCCESS.json")):
         if os.path.exists(args.out):
             report = {**json.load(open(args.out)), **report}
@@ -176,6 +227,22 @@ def main() -> None:
         print(json.dumps({f"selective_{mode}": report[f"selective_{mode}"]}),
               flush=True)
 
+    # ---- 2c. decoded-block fraction (driver-side exact instrumentation):
+    # rerun the same WAND grouping/logic over the query's collected postings
+    # with _TermBlocks.partials wrapped by a decode counter. The design-point
+    # claim is that pruning effectiveness GROWS with corpus size (more blocks
+    # per term → more skippable); this measures it, it isn't extrapolated.
+    report["wand_decoded_fraction"] = {}
+    for label, qs in (("selective", SELECTIVE), ("standard", QUERIES[:4])):
+        fr = [_decoded_fraction(spark, idx, q) for q in qs]
+        fr = [f for f in fr if f is not None]
+        report["wand_decoded_fraction"][label] = {
+            "per_query": [round(f, 4) for f in fr],
+            "mean": round(sum(fr) / len(fr), 4) if fr else None,
+        }
+    print(json.dumps({"wand_decoded_fraction": report["wand_decoded_fraction"]}),
+          flush=True)
+
     # ---- 3. batch retrieval: one job for all queries ----
     walls = []
     for rep in range(args.repeats):
@@ -212,6 +279,13 @@ def main() -> None:
     }
     print(json.dumps({"topk_batch_64": report["topk_batch_64"]}), flush=True)
 
+    if args.queries_only:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps(report))
+        spark.stop()
+        return
+
     # ---- 4. incremental update: segment vs compact on a 5% delta ----
     from statschat_ke_spark.corpus import spark_documents_distributed
 
@@ -224,13 +298,13 @@ def main() -> None:
     base_urls = spark.read.parquet(input_dir).select("url")
     delta = delta.join(base_urls, "url", "left_anti")
 
-    delta_dir = os.path.join(tempfile.gettempdir(), "statschat_large_delta")
+    delta_dir = os.path.join(tempfile.gettempdir(), f"statschat_large_delta_{args.n_docs}")
     if not os.path.exists(os.path.join(delta_dir, "_SUCCESS")):
         delta.write.mode("overwrite").parquet(delta_dir)
     delta_df = spark.read.parquet(delta_dir)
 
     for strategy in ("segment", "compact"):
-        idx2 = os.path.join(tempfile.gettempdir(), f"statschat_large_idx_{strategy}")
+        idx2 = os.path.join(tempfile.gettempdir(), f"statschat_large_idx_{args.n_docs}_{strategy}")
         shutil.rmtree(idx2, ignore_errors=True)
         shutil.copytree(idx, idx2)
         t0 = time.time()
@@ -264,7 +338,7 @@ def main() -> None:
     seg_lat: dict = {"1": report.get("query_auto", {}).get("per_query_s_best")}
     for n_seg in (4, 16):
         idx_s = os.path.join(
-            tempfile.gettempdir(), f"statschat_large_idx_seg{n_seg}"
+            tempfile.gettempdir(), f"statschat_large_idx_{args.n_docs}_seg{n_seg}"
         )
         if not os.path.exists(os.path.join(idx_s, "_SUCCESS.json")):
             shutil.rmtree(idx_s, ignore_errors=True)

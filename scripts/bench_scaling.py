@@ -32,6 +32,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def data_proportional_partitions(input_dir: str) -> int:
+    """Partition count sized by INPUT DATA (~32 MB per partition), not by
+    thread count — the rule a real cluster uses, and the property the
+    scaling measurement needs: both parallelism levels must run the
+    IDENTICAL job (same task boundaries, same shuffle fan-out) so that the
+    only variable is how many of those tasks run concurrently. Sizing
+    partitions to cpus (the pre-round-4 behavior) made the low level run
+    FAT partitions: at local[2] over 900k docs the lexicon/finalize phases
+    ran 10× (not 4×) slower than local[8] — a different job, not the same
+    job with less parallelism — and understated the true efficiency."""
+    n_bytes = sum(
+        os.path.getsize(os.path.join(input_dir, f))
+        for f in os.listdir(input_dir)
+        if f.endswith(".parquet")
+    )
+    return int(max(16, min(1024, -(-n_bytes // (32 << 20)))))
+
+
 def _session(cpus: int, shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
 
@@ -57,13 +75,13 @@ def _subtree_cpu_seconds() -> float:
     return subtree_cpu_seconds()
 
 
-def child(cpus: int, input_dir: str) -> None:
+def child(cpus: int, input_dir: str, num_partitions: int) -> None:
     import shutil
 
     from statschat_ke_spark.index.build import build_index
     from statschat_ke_spark.index.query import topk
 
-    spark = _session(cpus)
+    spark = _session(cpus, shuffle_partitions=num_partitions)
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(input_dir)
     idx = os.path.join(tempfile.gettempdir(), f"statschat_scaling_idx_{cpus}")
@@ -71,7 +89,7 @@ def child(cpus: int, input_dir: str) -> None:
 
     cpu0 = _subtree_cpu_seconds()
     t0 = time.time()
-    res = build_index(spark, docs, idx, lang="en", num_partitions=cpus)
+    res = build_index(spark, docs, idx, lang="en", num_partitions=num_partitions)
     build_s = time.time() - t0
     build_cpu_s = _subtree_cpu_seconds() - cpu0
 
@@ -110,10 +128,11 @@ def child(cpus: int, input_dir: str) -> None:
     spark.stop()
 
 
-def run_child(cpus: int, input_dir: str) -> dict:
+def run_child(cpus: int, input_dir: str, num_partitions: int) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--child",
-         "--cpus", str(cpus), "--input", input_dir],
+         "--cpus", str(cpus), "--input", input_dir,
+         "--num-partitions", str(num_partitions)],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
     for line in out.stdout.splitlines():
@@ -138,10 +157,14 @@ def main() -> None:
                          "sandbox hypervisor pauses the VM at random, so a "
                          "single run can be arbitrarily inflated")
     ap.add_argument("--out", type=str, default=os.path.join(REPO, "BENCH_SCALING.json"))
+    ap.add_argument("--num-partitions", type=int, default=0,
+                    help="partition count used at EVERY level (0 = derive "
+                         "from input bytes, ~32 MB each — see "
+                         "data_proportional_partitions)")
     args = ap.parse_args()
 
     if args.child:
-        child(args.cpus, args.input)
+        child(args.cpus, args.input, args.num_partitions)
         return
 
     from statschat_ke_spark.corpus import spark_documents_distributed
@@ -167,11 +190,13 @@ def main() -> None:
         for cpus in (n, n4):
             if cpus not in levels:
                 levels.append(cpus)
+    num_partitions = args.num_partitions or data_proportional_partitions(input_dir)
+    print(f"num_partitions={num_partitions} (identical at every level)", flush=True)
     for cpus in levels:
         runs = []
         for r in range(args.repeats):
             print(f"running local[{cpus}] (run {r + 1}/{args.repeats}) ...", flush=True)
-            runs.append(run_child(cpus, input_dir))
+            runs.append(run_child(cpus, input_dir, num_partitions))
             print(json.dumps(runs[-1]), flush=True)
         all_runs[cpus] = runs
         results[cpus] = min(runs, key=lambda x: x["build_wall_s"])
@@ -179,6 +204,7 @@ def main() -> None:
     report = {
         "n_docs": args.n_docs,
         "input": input_dir,
+        "num_partitions": num_partitions,
         "repeats": args.repeats,
         "selection": "min build_wall_s per level (hypervisor-pause robust)",
         "levels": results,

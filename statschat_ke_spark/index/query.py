@@ -467,12 +467,21 @@ def _wand_slice(idf_map: dict[int, float], avgdl: float, k: int):
 
     Exactness: θ only grows, so a skipped doc has true score ≤ UB < θ ≤ final
     θ and can never displace the kth result even via the doc_id tie-break
-    (strict inequality); intervals with UB == θ are processed.
+    (strict inequality); intervals with UB == θ are processed. Because the
+    interval bounds come out of a float sweep+cumsum, every θ-comparison
+    uses a conservative error margin (``eps`` below) so rounding can never
+    turn that exact-arithmetic argument into a false skip — found the hard
+    way by an exact-tie at rank k whose interval bound landed 1 ulp low.
     """
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         terms: list[_TermBlocks] = []
-        for term_id, g in pdf.groupby("term_id", sort=False):
+        # sort=True: term processing order must NOT follow Spark's partition
+        # read order (nondeterministic run-to-run) — float summation order
+        # would then vary in the last ulp and near-tied docs could swap
+        # ranks across runs. term_id order makes scores bit-reproducible
+        # for a given index.
+        for term_id, g in pdf.groupby("term_id", sort=True):
             terms.append(_TermBlocks(idf_map[int(term_id)], g, avgdl))
         if not terms:
             return pd.DataFrame(
@@ -491,6 +500,16 @@ def _wand_slice(idf_map: dict[int, float], avgdl: float, k: int):
         closes = np.searchsorted(bounds, all_lasts[~open_end] + np.uint64(1))
         np.subtract.at(ub, closes[closes < len(bounds)], all_bms[~open_end][closes < len(bounds)])
         ub = np.cumsum(ub)
+        # Float-safety margin for every θ-comparison below. The sweep +
+        # cumsum accumulates rounding error ∝ len(bounds)·eps·max|prefix|,
+        # which can push an interval's bound a few ulp BELOW the true
+        # Σ block-max; a doc whose true score EQUALS θ must still be decoded
+        # (it can win the kth slot via the unsigned-doc_id tie-break), so a
+        # bound-vs-θ skip that is exact-arithmetic-safe needs headroom for
+        # that error. False keeps only cost a few extra block decodes.
+        eps = (len(bounds) + len(all_bms)) * np.finfo(np.float64).eps * (
+            float(np.max(np.abs(ub))) if len(ub) else 0.0
+        )
 
         # ---- level 2: decode + score surviving intervals, vectorized ----
         top_docs = np.empty(0, dtype=np.uint64)
@@ -514,7 +533,7 @@ def _wand_slice(idf_map: dict[int, float], avgdl: float, k: int):
         # range therefore no longer forces decoding every dense block it
         # overlaps — dense-term decode cost is ∝ candidates, not range.
         for i in np.argsort(-ub, kind="stable"):
-            if ub[i] < theta:
+            if ub[i] < theta - eps:
                 break
             lo = bounds[i]
             hi = bounds[i + 1] if i + 1 < len(bounds) else None  # None = +inf
@@ -531,7 +550,7 @@ def _wand_slice(idf_map: dict[int, float], avgdl: float, k: int):
             else:
                 cov.sort(key=lambda x: x[2])
                 acc, p = 0.0, 0
-                while p < len(cov) and acc + cov[p][2] < theta:
+                while p < len(cov) and acc + cov[p][2] < theta - eps:
                     acc += cov[p][2]
                     p += 1
                 ness, ess = cov[:p], cov[p:]
@@ -557,7 +576,7 @@ def _wand_slice(idf_map: dict[int, float], avgdl: float, k: int):
             if ness:
                 # keep only candidates whose optimistic bound clears θ,
                 # then resolve their exact non-essential contributions
-                keep = s + nbm >= theta
+                keep = s + nbm >= theta - eps
                 if not keep.any():
                     continue
                 d, s = d[keep], s[keep]

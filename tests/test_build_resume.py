@@ -261,3 +261,31 @@ def test_segment_lifecycle_auto_compaction(spark, docs500, single_shot, tmp_path
         )
         assert not res.compacted
     assert _existing_segments(d2) == [0, 1, 2, 3]
+
+
+def test_update_segment_chunk_accounting(spark, tmp_path_factory):
+    """chunks_processed counts append_segment calls that actually packed a
+    segment; chunks_skipped counts previously-staged chunks NOT repacked —
+    disjoint, no double-counting (ADVICE r3)."""
+    pdf = generate_documents(300)
+    base = spark.createDataFrame(pdf.iloc[:150], schema=DOCUMENTS_SPARK_SCHEMA).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    delta = spark.createDataFrame(pdf.iloc[150:], schema=DOCUMENTS_SPARK_SCHEMA).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    d = str(tmp_path_factory.mktemp("acct") / "idx")
+    build_index(spark, base, d, num_partitions=P)
+
+    # normal delta append: exactly one chunk processed, the base chunk(s)
+    # skipped, never both counted for the same chunk
+    res = update_index(spark, delta, d, num_partitions=P, strategy="segment")
+    assert res.chunks_processed == 1
+    done_total = len(staged_chunks(spark, d))
+    assert res.chunks_processed + res.chunks_skipped == done_total
+
+    # pure replay (same delta again): the empty replay chunk is packed via
+    # the fallback path and MUST count as processed=1, not 0
+    res2 = update_index(spark, delta, d, num_partitions=P, strategy="segment")
+    assert res2.chunks_processed == 1
+    assert res2.chunks_skipped == done_total  # all prior chunks skipped

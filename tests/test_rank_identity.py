@@ -64,6 +64,23 @@ def test_topk_batch_matches_per_query(spark, index_dir, queries):
             assert list(got["rank"]) == list(range(1, len(got) + 1))
 
 
+def test_wand_exact_tie_at_rank_k(spark, index_dir, oracle):
+    """Regression: an exact score tie AT the kth slot must resolve by the
+    unsigned-doc_id tie-break in WAND too. The interval upper bounds come
+    out of a float sweep+cumsum whose rounding once pushed the tied doc's
+    interval a few ulp below θ, so WAND skipped it while exhaustive kept it
+    (query.py _wand_slice eps margin). This query has two docs bit-equal at
+    rank 10 on the 1k corpus."""
+    q = "w09207 w02260 reports"
+    golden = oracle.topk(q, 10)
+    for mode in ("wand", "exhaustive"):
+        got = topk(spark, index_dir, q, 10, mode=mode).toPandas()
+        assert list(got.doc_id) == list(golden.doc_id), mode
+    # the tie is real: ranks 10 and 11 carry bit-identical scores
+    g11 = oracle.topk(q, 11)
+    assert g11.score.iloc[9] == g11.score.iloc[10]
+
+
 def test_topk_batch_rank_identity_golden_scale(spark, index_dir, oracle, corpus_pdf):
     """Batch retrieval == numpy oracle over ~200 generated queries (mixed
     rare / common / multi-term / negative) with n_qb FORCED > 1, exercising
