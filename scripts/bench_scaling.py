@@ -53,7 +53,7 @@ def data_proportional_partitions(input_dir: str) -> int:
 def _session(cpus: int, shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
 
-    return (
+    b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"statschat_scaling_{cpus}")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus * 2))
@@ -63,8 +63,19 @@ def _session(cpus: int, shuffle_partitions: int | None = None):
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
     )
+    # Emulate an N-core executor faithfully: without ActiveProcessorCount
+    # the JVM sizes GC/JIT/netty thread pools from availableProcessors()=32
+    # at EVERY level, so the local[2] child runs a 32-core-sized G1 (measured:
+    # cpu_concurrency 2.51 on a 2-thread pool, java CPU-s inflated by GC
+    # threads the real 2-core executor would never have). A real cluster's
+    # N-core executor JVM sees N cores; this makes each level match that.
+    # SPARK_GRAFT_JAVA_OPTS appends extra A/B flags (e.g. -XX:+UseParallelGC).
+    opts = f"-XX:ActiveProcessorCount={cpus}"
+    extra = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+    if extra:
+        opts = f"{opts} {extra}"
+    return b.config("spark.driver.extraJavaOptions", opts).getOrCreate()
 
 
 def _subtree_cpu_seconds() -> float:
@@ -87,11 +98,18 @@ def child(cpus: int, input_dir: str, num_partitions: int) -> None:
     idx = os.path.join(tempfile.gettempdir(), f"statschat_scaling_idx_{cpus}")
     shutil.rmtree(idx, ignore_errors=True)
 
+    from statschat_ke_spark.benchutil import subtree_cpu_by_kind
+
     cpu0 = _subtree_cpu_seconds()
+    kind0 = subtree_cpu_by_kind()
     t0 = time.time()
     res = build_index(spark, docs, idx, lang="en", num_partitions=num_partitions)
     build_s = time.time() - t0
     build_cpu_s = _subtree_cpu_seconds() - cpu0
+    kind1 = subtree_cpu_by_kind()
+    cpu_by_kind = {
+        k: round(kind1.get(k, 0.0) - kind0.get(k, 0.0), 2) for k in kind1
+    }
 
     stats = json.load(open(os.path.join(idx, "stats.json")))
 
@@ -122,6 +140,8 @@ def child(cpus: int, input_dir: str, num_partitions: int) -> None:
                 "skew_ratio": stats["skew_ratio"],
                 "queries_per_sec": n_q / query_s,
                 "query_wall_s": query_s,
+                "cpu_by_kind_s": cpu_by_kind,
+                "phase_timings_s": stats.get("phase_timings_s", {}),
             }
         )
     )
@@ -183,7 +203,6 @@ def main() -> None:
         spark.stop()
 
     results: dict[int, dict] = {}
-    all_runs: dict[int, list] = {}
     pairs = [tuple(int(x) for x in p.split(":")) for p in args.pairs.split(",")]
     levels = []
     for n, n4 in pairs:
@@ -192,14 +211,19 @@ def main() -> None:
                 levels.append(cpus)
     num_partitions = args.num_partitions or data_proportional_partitions(input_dir)
     print(f"num_partitions={num_partitions} (identical at every level)", flush=True)
-    for cpus in levels:
-        runs = []
-        for r in range(args.repeats):
+    # Interleave repeats ACROSS levels (round-robin) rather than running all
+    # repeats of one level back-to-back: the hypervisor throttles this VM in
+    # multi-minute windows, so consecutive runs share a window's fate — a
+    # round-robin spreads each level's repeats over the full session and
+    # best-of-N then has an honest shot at an unthrottled window per level.
+    all_runs = {cpus: [] for cpus in levels}
+    for r in range(args.repeats):
+        for cpus in levels:
             print(f"running local[{cpus}] (run {r + 1}/{args.repeats}) ...", flush=True)
-            runs.append(run_child(cpus, input_dir, num_partitions))
-            print(json.dumps(runs[-1]), flush=True)
-        all_runs[cpus] = runs
-        results[cpus] = min(runs, key=lambda x: x["build_wall_s"])
+            all_runs[cpus].append(run_child(cpus, input_dir, num_partitions))
+            print(json.dumps(all_runs[cpus][-1]), flush=True)
+    for cpus in levels:
+        results[cpus] = min(all_runs[cpus], key=lambda x: x["build_wall_s"])
 
     report = {
         "n_docs": args.n_docs,

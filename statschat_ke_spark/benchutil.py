@@ -41,3 +41,51 @@ def subtree_cpu_seconds() -> float:
         total += procs.get(p, (0, 0))[1]
         stack.extend(ch.get(p, []))
     return total / tck
+
+
+def subtree_cpu_by_kind() -> dict[str, float]:
+    """CPU seconds for this process tree split by process kind: 'java' (the
+    Spark JVM), 'python' (driver + pyspark daemon/workers), 'other'.
+
+    Diagnostic companion to subtree_cpu_seconds: when CPU-seconds for the
+    IDENTICAL job inflate at higher parallelism (BASELINE.md scaling notes),
+    this split shows whether the extra cycles are JVM-side (GC / shuffle /
+    codegen under a shared heap) or Python-side (tokenizer workers sharing
+    memory bandwidth), which decides whether it is tunable software or the
+    host's SMT ceiling."""
+    from collections import defaultdict
+
+    me = os.getpid()
+    procs: dict[int, tuple[int, int, str]] = {}
+    tck = os.sysconf("SC_CLK_TCK")
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as f:
+                s = f.read().decode("latin1")
+        except OSError:
+            continue
+        lp, rp = s.index("("), s.rindex(")")
+        comm = s[lp + 1 : rp]
+        fields = s[rp + 2 :].split()
+        ppid = int(fields[1])
+        jiffies = int(fields[11]) + int(fields[12]) + int(fields[13]) + int(fields[14])
+        procs[int(d)] = (ppid, jiffies, comm)
+    ch = defaultdict(list)
+    for pid, (pp, _, _) in procs.items():
+        ch[pp].append(pid)
+    by_kind: dict[str, float] = defaultdict(float)
+    stack = [me]
+    while stack:
+        p = stack.pop()
+        if p in procs:
+            _, j, comm = procs[p]
+            kind = (
+                "java"
+                if "java" in comm
+                else "python" if "python" in comm or "pyspark" in comm else "other"
+            )
+            by_kind[kind] += j / tck
+        stack.extend(ch.get(p, []))
+    return dict(by_kind)
