@@ -113,10 +113,13 @@ def child(cpus: int, index_dir: str, n_queries: int, repeats: int) -> None:
 
 
 def run_child(cpus: int, index_dir: str, n_queries: int, repeats: int) -> dict:
+    from bench_scaling import pin_cmd  # taskset affinity cap, same protocol
+
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child",
-         "--cpus", str(cpus), "--index", index_dir,
-         "--n-queries", str(n_queries), "--repeats", str(repeats)],
+        pin_cmd(cpus)
+        + [sys.executable, os.path.abspath(__file__), "--child",
+           "--cpus", str(cpus), "--index", index_dir,
+           "--n-queries", str(n_queries), "--repeats", str(repeats)],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
     for line in out.stdout.splitlines():
