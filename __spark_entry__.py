@@ -488,8 +488,13 @@ def _sentinel_scrape(spark, sf_dir):
     page-text column is constructed deterministically from `documents` in
     three layouts (full sentinels / fallback-year layout / no sentinels);
     the oracle derives the EXPECTED metadata directly from the same columns
-    — an independent derivation, not a SQL re-implementation of the scrape."""
-    from statschat_ke_spark.functions.refops import sentinel_metadata
+    — an independent derivation, not a SQL re-implementation of the scrape.
+
+    Uses the STAGED sentinel_metadata_cols: the one-Column form would
+    inline the synthetic `page` when-chain at each of its ~350 reference
+    sites and ×4 again per struct field (measured 20-30 s of pure Catalyst
+    analysis/codegen for 500 rows; staged: <1 s, identical values)."""
+    from statschat_ke_spark.functions.refops import sentinel_metadata_cols
 
     docs = _t(spark, sf_dir, "documents")
     months = F.array(*[F.lit(x) for x in _SCRAPE_MONTHS])
@@ -518,13 +523,8 @@ def _sentinel_scrape(spark, sf_dir):
         )
         .otherwise(F.concat(F.lit("plain "), ov))
     )
-    meta = sentinel_metadata(page)
-    return docs.select(
-        "doc_id",
-        meta["date"].alias("date"),
-        meta["overview"].alias("overview"),
-        meta["publication_type"].alias("publication_type"),
-        meta["publication_theme"].alias("publication_theme"),
+    return sentinel_metadata_cols(docs.select("doc_id", "text"), page).select(
+        "doc_id", "date", "overview", "publication_type", "publication_theme"
     )
 
 

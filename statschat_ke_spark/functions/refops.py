@@ -254,6 +254,87 @@ def sentinel_metadata(text: Column) -> Column:
     )
 
 
+def sentinel_metadata_cols(df, text: Column):
+    """Staged evaluation of :func:`sentinel_metadata` — same values, flat
+    plan. Returns ``df`` with four added columns ``date, overview,
+    publication_type, publication_theme``.
+
+    Why this exists: the single-Column form inlines every shared
+    subexpression at each reference site — ``toks`` alone re-expands to
+    ~350 copies of the input-text subtree, and reading the four struct
+    fields multiplies the whole tree by 4 again. When the text itself is a
+    computed expression (the contract entry synthesizes it from
+    ``documents``), that is tens of thousands of Catalyst nodes that
+    analysis, optimization and codegen each walk: measured 20-30 s for a
+    500-row scan whose per-row work is microseconds. Here every shared
+    intermediate is a NAMED column in its own projection, so each subtree
+    is analyzed and compiled once; CollapseProject keeps non-cheap,
+    multiply-referenced producers staged instead of re-inlining them.
+    Bit-identical to sentinel_metadata() (asserted in test_refops)."""
+    tmp = [
+        "_sm_text", "_sm_body", "_sm_sub", "_sm_pub", "_sm_toks", "_sm_n",
+        "_sm_alt", "_sm_datep",
+    ]
+    out = (
+        df.withColumn("_sm_text", text)
+        .withColumn("_sm_body", _between(F.col("_sm_text"), "About Report ", "Share This Page"))
+        .withColumn("_sm_alt", _between(F.col("_sm_text"), "Main Report", "Visit the KNBS"))
+        .withColumn(
+            "_sm_sub",
+            F.when(
+                F.col("_sm_body") != "",
+                F.concat(F.lit("About-Report "), F.col("_sm_body"), F.lit(" Overview-End")),
+            ).otherwise(F.lit("")),
+        )
+        .withColumn("_sm_pub", _between(F.col("_sm_sub"), "About-Report", " Overview"))
+        .withColumn("overview", _between(F.col("_sm_sub"), "Overview ", " Overview-End"))
+        .withColumn("_sm_toks", F.filter(F.split(F.col("_sm_pub"), r"\s+"), lambda x: x != ""))
+        .withColumn("_sm_n", F.size("_sm_toks"))
+        .withColumn(
+            "_sm_datep",
+            F.when(
+                F.col("_sm_n") >= 2,
+                F.concat_ws(" ", F.slice(F.col("_sm_toks"), F.col("_sm_n") - 1, 2)),
+            ).otherwise(F.lit("Unknown")),
+        )
+        .withColumn(
+            "date",
+            F.when(F.col("_sm_datep") != "Unknown", F.col("_sm_datep")).otherwise(
+                F.when(
+                    F.size(
+                        F.filter(
+                            F.sequence(F.lit(1954), F.lit(2049)),
+                            lambda y: F.contains(F.col("_sm_alt"), y.cast("string")),
+                        )
+                    )
+                    > 0,
+                    F.element_at(
+                        F.filter(
+                            F.sequence(F.lit(1954), F.lit(2049)),
+                            lambda y: F.contains(F.col("_sm_alt"), y.cast("string")),
+                        ),
+                        -1,
+                    ).cast("string"),
+                ).otherwise(F.lit("Unknown"))
+            ),
+        )
+        .withColumn(
+            "publication_type",
+            F.when(F.col("_sm_n") > 0, F.element_at(F.col("_sm_toks"), 1)).otherwise(
+                F.lit("Unknown")
+            ),
+        )
+        .withColumn(
+            "publication_theme",
+            F.when(
+                F.col("_sm_n") > 2,
+                F.concat_ws(" ", F.slice(F.col("_sm_toks"), 2, F.col("_sm_n") - 3)),
+            ).otherwise(F.lit("Unknown")),
+        )
+    )
+    return out.drop(*tmp)
+
+
 @F.pandas_udf(T.StringType())
 def highlight_udf(text: pd.Series, phrases: pd.Series) -> pd.Series:
     """F8 — highlighter (generative/utils.py:24-77): case-insensitive FIRST

@@ -283,6 +283,47 @@ def test_sentinel_metadata_reference_parity(spark):
     assert got == [_ref_sentinel(c) for c in cases]
 
 
+def test_sentinel_metadata_cols_matches_column_form(spark):
+    """The staged (flat-plan) variant must be value-identical to the
+    one-Column form on every parity case, including when the text is a
+    COMPUTED expression (the shape that makes the Column form blow up)."""
+    from statschat_ke_spark.functions.refops import (
+        sentinel_metadata,
+        sentinel_metadata_cols,
+    )
+
+    cases = [
+        "Hdr About Report Report Economic Survey May 2023 Overview "
+        "ov text here Share This Page ft",
+        "Hdr Main Report published in 1987 and 2001 blah Visit the KNBS ft",
+        "no sentinels at all",
+        "About Report X Share This Page",
+        "About Report A B Share This Page",
+        "About Report Overview twice Overview in body Share This Page",
+        "Main Report no year here Visit the KNBS",
+        "About Report  Share This Page Main Report year 1999 Visit the KNBS",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, raw string"
+    )
+    text_expr = F.concat(F.lit(""), F.col("raw"))  # computed, not an attribute
+    want = sorted(
+        (r.i, r.m.date, r.m.overview, r.m.publication_type, r.m.publication_theme)
+        for r in df.select(
+            "i", sentinel_metadata(text_expr).alias("m")
+        ).collect()
+    )
+    got = sorted(
+        (r.i, r.date, r.overview, r.publication_type, r.publication_theme)
+        for r in sentinel_metadata_cols(df, text_expr).collect()
+    )
+    assert got == want
+    # staged intermediates must not leak into the output schema
+    out_cols = sentinel_metadata_cols(df, text_expr).columns
+    assert not any(c.startswith("_sm_") for c in out_cols)
+
+
 def test_merge_highlight_phrases(spark):
     from statschat_ke_spark.functions.refops import merge_highlight_phrases
 
