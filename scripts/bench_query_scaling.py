@@ -65,7 +65,8 @@ def make_queries(n: int) -> dict[int, str]:
     }
 
 
-def child(cpus: int, index_dir: str, n_queries: int, repeats: int) -> None:
+def child(cpus: int, index_dir: str, n_queries: int, repeats: int,
+          n_groups: int | None) -> None:
     from bench_scaling import _session  # same strict per-level JVM protocol
 
     from statschat_ke_spark.benchutil import subtree_cpu_seconds
@@ -80,7 +81,7 @@ def child(cpus: int, index_dir: str, n_queries: int, repeats: int) -> None:
     cpu0 = subtree_cpu_seconds()
     for _ in range(repeats):
         t0 = time.time()
-        rows = topk_batch(spark, index_dir, queries, k=10).collect()
+        rows = topk_batch(spark, index_dir, queries, k=10, n_groups=n_groups).collect()
         walls.append(time.time() - t0)
         # rank-identity fingerprint: stable across levels iff the engine
         # returns the same docs in the same order with the same scores
@@ -105,6 +106,7 @@ def child(cpus: int, index_dir: str, n_queries: int, repeats: int) -> None:
                 "queries_per_sec": n_queries / best,
                 "per_query_s": best / n_queries,
                 "cpu_s_total": round(cpu_s, 2),
+                "n_groups": n_groups,
                 "result_sha256": result_hash,
             }
         )
@@ -112,14 +114,16 @@ def child(cpus: int, index_dir: str, n_queries: int, repeats: int) -> None:
     spark.stop()
 
 
-def run_child(cpus: int, index_dir: str, n_queries: int, repeats: int) -> dict:
+def run_child(cpus: int, index_dir: str, n_queries: int, repeats: int,
+              n_groups: int) -> dict:
     from bench_scaling import pin_cmd  # taskset affinity cap, same protocol
 
     out = subprocess.run(
         pin_cmd(cpus)
         + [sys.executable, os.path.abspath(__file__), "--child",
            "--cpus", str(cpus), "--index", index_dir,
-           "--n-queries", str(n_queries), "--repeats", str(repeats)],
+           "--n-queries", str(n_queries), "--repeats", str(repeats),
+           "--n-groups", str(n_groups)],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
     for line in out.stdout.splitlines():
@@ -139,12 +143,20 @@ def main() -> None:
     ap.add_argument("--pairs", type=str, default="2:8")
     ap.add_argument("--n-queries", type=int, default=64)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--n-groups", type=int, default=16,
+                    help="WAND slice-group count, IDENTICAL at every level "
+                         "(0 = per-level adaptive — NOT a fair scaling "
+                         "comparison: the adaptive rule couples group count "
+                         "to defaultParallelism, so levels would run "
+                         "different jobs). Default 16 = the 8-core "
+                         "operating point's natural choice.")
     ap.add_argument("--out", type=str,
                     default=os.path.join(REPO, "BENCH_QUERY_SCALING.json"))
     args = ap.parse_args()
 
     if args.child:
-        child(args.cpus, args.index, args.n_queries, args.repeats)
+        child(args.cpus, args.index, args.n_queries, args.repeats,
+              args.n_groups or None)
         return
 
     stats = json.load(open(os.path.join(args.index, "stats.json")))
@@ -155,6 +167,7 @@ def main() -> None:
         "n_queries": args.n_queries,
         "repeats": args.repeats,
         "selection": "min batch wall per level (hypervisor-pause robust)",
+        "n_groups": args.n_groups,
         "levels": {},
         "pairs": [],
     }
@@ -164,7 +177,7 @@ def main() -> None:
     for lvl in levels:
         print(f"running local[{lvl}] ...", flush=True)
         report["levels"][str(lvl)] = run_child(
-            lvl, args.index, args.n_queries, args.repeats
+            lvl, args.index, args.n_queries, args.repeats, args.n_groups
         )
         print(json.dumps(report["levels"][str(lvl)]), flush=True)
 

@@ -49,6 +49,16 @@ RESULT_SCHEMA = T.StructType(
     ]
 )
 
+# exhaustive-scorer partial rows carry the term's query position so the
+# per-doc fold can sum in canonical (query appearance) order
+EXHAUSTIVE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("qpos", T.IntegerType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
 
 def load_stats(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "stats.json")) as f:
@@ -201,8 +211,22 @@ def topk(
         )
         idf_map = {t: v["idf"] for t, v in terminfo.items()}
         if mode == "exhaustive":
-            scored = pst.mapInPandas(_exhaustive_scorer(idf_map, avgdl), RESULT_SCHEMA)
-            res = scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+            scored = pst.mapInPandas(
+                _exhaustive_scorer(idf_map, avgdl), EXHAUSTIVE_SCHEMA
+            )
+            # canonical-order per-doc sum (see _wand_slice bit-reproducibility
+            # note): a doc has ≤|q| partial rows, one per query term; fold
+            # them sorted by query position so the float summation order is a
+            # pure function of (index, query) — F.sum's accumulation order
+            # follows shuffle arrival and varies with parallelism, which can
+            # swap exact-tie ranks across cluster sizes.
+            res = scored.groupBy("doc_id").agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("qpos", "score"))),
+                    F.lit(0.0),
+                    lambda a, x: a + x["score"],
+                ).alias("score")
+            )
         elif mode == "wand":
             # Adaptive slice coarsening: every WAND group pays ~k decoded
             # blocks before its local θ converges, so 64 fine slices × k
@@ -246,6 +270,7 @@ def topk_batch(
     k: int = 10,
     *,
     n_qb: int | None = None,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """Top-k for MANY queries in ONE job: (query_id, rank, doc_id, score).
 
@@ -301,10 +326,19 @@ def topk_batch(
     from pyspark.sql import Window as W
 
     # same adaptive coarsening as topk (see there): group count sized from
-    # the union Σdf so per-group θ converges with little decode overhead
+    # the union Σdf so per-group θ converges with little decode overhead.
+    # ``n_groups`` pins the count explicitly — the adaptive default couples
+    # the JOB SHAPE to defaultParallelism (more groups = more per-group θ
+    # warm-up decode), so an N-vs-4N scaling measurement must pin it to run
+    # the identical job at both levels and vary only concurrency
+    # (scripts/bench_query_scaling.py does; same rule as the build bench's
+    # identical partition counts).
     total_df = sum(lex[t]["df"] for t in all_ids)
     par = spark.sparkContext.defaultParallelism
-    n_groups = int(max(1, min(4 * par, (total_df // BLOCK) // 512 + 1)))
+    if n_groups is None:
+        n_groups = int(max(1, min(4 * par, (total_df // BLOCK) // 512 + 1)))
+    else:
+        n_groups = int(max(1, n_groups))
     # Query-dimension parallelism: slice groups alone bound the task count
     # at n_seg * n_groups, so a 10^4-question golden set would run its WAND
     # invocations sequentially inside each group (the tail the verdict
@@ -370,6 +404,8 @@ def topk_batch(
 
 
 def _exhaustive_scorer(idf_map: dict[int, float], avgdl: float):
+    qpos_map = {t: i for i, t in enumerate(idf_map)}  # query appearance order
+
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
@@ -395,8 +431,13 @@ def _exhaustive_scorer(idf_map: dict[int, float], avgdl: float):
             w = np.repeat(
                 pdf["term_id"].map(idf_map).to_numpy(dtype=np.float64), n
             )
+            qpos = np.repeat(
+                pdf["term_id"].map(qpos_map).to_numpy(dtype=np.int32), n
+            )
             partial = w * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
-            yield pd.DataFrame({"doc_id": ids.view(np.int64), "score": partial})
+            yield pd.DataFrame(
+                {"doc_id": ids.view(np.int64), "qpos": qpos, "score": partial}
+            )
 
     return score
 
@@ -472,17 +513,32 @@ def _wand_slice(idf_map: dict[int, float], avgdl: float, k: int):
     uses a conservative error margin (``eps`` below) so rounding can never
     turn that exact-arithmetic argument into a false skip — found the hard
     way by an exact-tie at rank k whose interval bound landed 1 ulp low.
+
+    Bit-reproducibility: every emitted per-doc score is the sum of its
+    per-term partials in CANONICAL order — the query's distinct-term
+    appearance order (``idf_map`` insertion order, the same order the numpy
+    oracle accumulates) as a strict left-to-right fold — NEVER the
+    essential/non-essential split order (varies with θ and therefore with
+    slice grouping) and never ``np.add.reduceat`` (numpy reduce associates
+    pairwise, so even a correctly-ordered array sums to a different last
+    ulp than the sequential fold). Float addition is not associative in
+    the last ulp, so without a canonical order two near-tied docs could
+    swap ranks when ``n_groups`` (or the cluster size driving the adaptive
+    default) changes — caught by exactly such a swap at a pinned group
+    count. The split still drives candidate generation and pruning; only
+    the final summation is order-pinned.
     """
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        terms: list[_TermBlocks] = []
-        # sort=True: term processing order must NOT follow Spark's partition
-        # read order (nondeterministic run-to-run) — float summation order
-        # would then vary in the last ulp and near-tied docs could swap
-        # ranks across runs. term_id order makes scores bit-reproducible
-        # for a given index.
-        for term_id, g in pdf.groupby("term_id", sort=True):
-            terms.append(_TermBlocks(idf_map[int(term_id)], g, avgdl))
+        # Term processing order = idf_map insertion order (query appearance
+        # order — matches the oracle's accumulation order), NOT Spark's
+        # nondeterministic partition read order and NOT term_id order.
+        by_tid = {int(t): g for t, g in pdf.groupby("term_id", sort=False)}
+        terms: list[_TermBlocks] = [
+            _TermBlocks(idf_map[t], by_tid[t], avgdl)
+            for t in idf_map
+            if t in by_tid
+        ]
         if not terms:
             return pd.DataFrame(
                 {"doc_id": np.empty(0, dtype=np.int64),
@@ -537,6 +593,9 @@ def _wand_slice(idf_map: dict[int, float], avgdl: float, k: int):
                 break
             lo = bounds[i]
             hi = bounds[i + 1] if i + 1 < len(bounds) else None  # None = +inf
+            # cov stays in canonical (terms-list) order; the essential/
+            # non-essential split is computed over a bm-sorted VIEW so the
+            # summation order below never depends on θ
             cov: list[tuple[_TermBlocks, int, float]] = []
             for t in terms:
                 j = t.covering_block(lo)
@@ -545,16 +604,21 @@ def _wand_slice(idf_map: dict[int, float], avgdl: float, k: int):
             if not cov:
                 continue
             if theta == -math.inf or len(cov) == 1:
-                ness: list[tuple[_TermBlocks, int, float]] = []
-                ess = cov
+                ness_i: set[int] = set()
+                nbm = 0.0
             else:
-                cov.sort(key=lambda x: x[2])
-                acc, p = 0.0, 0
-                while p < len(cov) and acc + cov[p][2] < theta - eps:
-                    acc += cov[p][2]
-                    p += 1
-                ness, ess = cov[:p], cov[p:]
-            nbm = sum(x[2] for x in ness)
+                by_bm = sorted(range(len(cov)), key=lambda i: cov[i][2])
+                acc = 0.0
+                ness_i = set()
+                for i_c in by_bm:
+                    bm_c = cov[i_c][2]
+                    if acc + bm_c < theta - eps:
+                        acc += bm_c
+                        ness_i.add(i_c)
+                    else:
+                        break
+                nbm = acc
+            ess = [cov[i_c] for i_c in range(len(cov)) if i_c not in ness_i]
             cand_docs, cand_scores = [], []
             for t, j, _bm in ess:
                 docs_u, scores = t.partials(j)
@@ -566,25 +630,36 @@ def _wand_slice(idf_map: dict[int, float], avgdl: float, k: int):
             if not cand_docs:
                 continue
             d = np.concatenate(cand_docs)
-            s = np.concatenate(cand_scores)
+            s_est = np.concatenate(cand_scores)
             if len(cand_docs) > 1:
                 order = np.argsort(d, kind="stable")
-                d, s = d[order], s[order]
+                d, s_est = d[order], s_est[order]
                 starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
                 d = d[starts]
-                s = np.add.reduceat(s, starts)
-            if ness:
-                # keep only candidates whose optimistic bound clears θ,
-                # then resolve their exact non-essential contributions
-                keep = s + nbm >= theta - eps
+                # reduceat is an ESTIMATE only: numpy reduce uses pairwise
+                # association, so its float result depends on how partials
+                # happen to group — never emit it as a score
+                s_est = np.add.reduceat(s_est, starts)
+            if ness_i:
+                # keep candidates whose optimistic bound clears θ. Margin:
+                # eps (metadata-sweep error) + a reorder term — the estimate
+                # sums in pairwise order while the final score sums
+                # sequentially, and reorder error is ≤ n·ulp·Σ|partials|.
+                opt = s_est + nbm
+                keep = opt >= theta - eps - len(cov) * np.finfo(np.float64).eps * np.abs(opt)
                 if not keep.any():
                     continue
-                d, s = d[keep], s[keep]
-                for t, j, _bm in ness:
-                    docs_u, scores = t.partials(j)
-                    pos = np.searchsorted(docs_u, d)
-                    ok = (pos < len(docs_u)) & (docs_u[np.minimum(pos, len(docs_u) - 1)] == d)
-                    s = s + np.where(ok, scores[np.minimum(pos, len(docs_u) - 1)], 0.0)
+                d = d[keep]
+            # canonical score: strict left-to-right fold over ALL covering
+            # terms in terms-list (query appearance) order — the oracle's
+            # accumulation order. Adding 0.0 for a term not containing the
+            # doc is exact, so this equals the oracle's skip-absent-terms
+            # accumulation; non-essential blocks decode lazily, only here.
+            s = np.zeros(len(d), dtype=np.float64)
+            for t, j, _bm in cov:
+                docs_u, scores = t.partials(j)
+                pos = np.minimum(np.searchsorted(docs_u, d), len(docs_u) - 1)
+                s = s + np.where(docs_u[pos] == d, scores[pos], 0.0)
             # merge into running top-k: (-score, doc_u) lexicographic
             md = np.concatenate([top_docs, d])
             ms = np.concatenate([top_scores, s])

@@ -81,6 +81,48 @@ def test_wand_exact_tie_at_rank_k(spark, index_dir, oracle):
     assert g11.score.iloc[9] == g11.score.iloc[10]
 
 
+def test_scores_bit_identical_across_groupings(spark, index_dir):
+    """Emitted scores are a pure function of (index, query): BIT-identical
+    across WAND slice-group counts and vs the exhaustive scorer. Per-doc
+    partials are summed in canonical query-term order (query.py _wand_slice
+    'Bit-reproducibility'); without that pin, the essential/non-essential
+    split order varies with grouping and near-tied docs swap ranks by one
+    ulp — caught by exactly such a swap on an all-common query at a pinned
+    group count, reproduced here."""
+    from statschat_ke_spark.index.query import topk_batch
+
+    queries = {
+        0: "and on have reports",  # all-common: many near-tied docs
+        1: "w09207 w02260 reports",  # exact tie at rank 10 (see above)
+        2: "inflation december county",
+    }
+    baseline = None
+    for ng in (None, 1, 7, 64):
+        got = (
+            topk_batch(spark, index_dir, queries, k=10, n_groups=ng)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        if baseline is None:
+            baseline = got
+        else:
+            assert list(got.doc_id) == list(baseline.doc_id), ng
+            # bitwise, not allclose: the summation order is pinned
+            assert (
+                got.score.to_numpy().view(np.int64)
+                == baseline.score.to_numpy().view(np.int64)
+            ).all(), ng
+    for qid, qtext in queries.items():
+        ex = topk(spark, index_dir, qtext, 10, mode="exhaustive").toPandas()
+        sub = baseline[baseline.query_id == qid]
+        assert list(ex.doc_id) == list(sub.doc_id), qid
+        assert (
+            ex.score.to_numpy().view(np.int64)
+            == sub.score.to_numpy().view(np.int64)
+        ).all(), qid
+
+
 def test_topk_batch_rank_identity_golden_scale(spark, index_dir, oracle, corpus_pdf):
     """Batch retrieval == numpy oracle over ~200 generated queries (mixed
     rare / common / multi-term / negative) with n_qb FORCED > 1, exercising
@@ -120,7 +162,9 @@ def test_topk_batch_rank_identity_golden_scale(spark, index_dir, oracle, corpus_
     assert len(qmap) == 190
 
     k = 10
-    batch = topk_batch(spark, index_dir, qmap, k=k, n_qb=5).toPandas()
+    # n_groups pinned explicitly (the scaling bench's identical-job knob —
+    # must not change results vs the adaptive default, asserted per query)
+    batch = topk_batch(spark, index_dir, qmap, k=k, n_qb=5, n_groups=7).toPandas()
     n_nonempty = 0
     for q, qtext in qmap.items():
         golden = oracle.topk(qtext, k)
