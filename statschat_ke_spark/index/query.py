@@ -356,18 +356,30 @@ def topk_batch(
     else:
         n_qb = int(max(1, min(len(idf_by_q), n_qb)))
 
+    idf_all = {t: v["idf"] for t, v in lex.items()}
+
     def run_slice(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         qb = int(key[2])
         outs = []
-        present = set(pdf["term_id"].unique().tolist())
+        # Build each term's block structure ONCE per group and share it —
+        # including its memoized decoded blocks — across every query in the
+        # bucket (idf is per-term global, so the structure is query-
+        # independent). Batch queries overlap heavily in vocabulary; the
+        # per-query rebuild this replaces re-sliced the metadata frame and
+        # re-decoded the same hot blocks B times per group and was ~6x of
+        # the batch stage's wall at 64 queries. Per query, terms are picked
+        # from the cache in the query's canonical term order.
+        tb_cache = {
+            int(t): _TermBlocks(idf_all[int(t)], g, avgdl)
+            for t, g in pdf.groupby("term_id", sort=False)
+        }
         for qid, idf_map in idf_by_q.items():
             if qid % n_qb != qb:
                 continue
-            q_terms = [t for t in idf_map if t in present]
-            if not q_terms:
+            terms = [tb_cache[t] for t in idf_map if t in tb_cache]
+            if not terms:
                 continue
-            sub = pdf[pdf["term_id"].isin(q_terms)]
-            res = _wand_slice(idf_map, avgdl, k)(sub)
+            res = _wand_terms_topk(terms, k)
             if len(res):
                 res.insert(0, "query_id", np.int64(qid))
                 outs.append(res)
@@ -539,141 +551,155 @@ def _wand_slice(idf_map: dict[int, float], avgdl: float, k: int):
             for t in idf_map
             if t in by_tid
         ]
-        if not terms:
-            return pd.DataFrame(
-                {"doc_id": np.empty(0, dtype=np.int64),
-                 "score": np.empty(0, dtype=np.float64)}
-            )
-
-        # ---- level 1: interval upper bounds from block metadata only ----
-        all_firsts = np.concatenate([t.firsts_u for t in terms])
-        all_lasts = np.concatenate([t.lasts_u for t in terms])
-        all_bms = np.concatenate([t.bms for t in terms])
-        open_end = all_lasts == np.uint64(0xFFFFFFFFFFFFFFFF)  # +1 would wrap
-        bounds = np.unique(np.concatenate([all_firsts, all_lasts[~open_end] + np.uint64(1)]))
-        ub = np.zeros(len(bounds), dtype=np.float64)
-        np.add.at(ub, np.searchsorted(bounds, all_firsts), all_bms)
-        closes = np.searchsorted(bounds, all_lasts[~open_end] + np.uint64(1))
-        np.subtract.at(ub, closes[closes < len(bounds)], all_bms[~open_end][closes < len(bounds)])
-        ub = np.cumsum(ub)
-        # Float-safety margin for every θ-comparison below. The sweep +
-        # cumsum accumulates rounding error ∝ len(bounds)·eps·max|prefix|,
-        # which can push an interval's bound a few ulp BELOW the true
-        # Σ block-max; a doc whose true score EQUALS θ must still be decoded
-        # (it can win the kth slot via the unsigned-doc_id tie-break), so a
-        # bound-vs-θ skip that is exact-arithmetic-safe needs headroom for
-        # that error. False keeps only cost a few extra block decodes.
-        eps = (len(bounds) + len(all_bms)) * np.finfo(np.float64).eps * (
-            float(np.max(np.abs(ub))) if len(ub) else 0.0
-        )
-
-        # ---- level 2: decode + score surviving intervals, vectorized ----
-        top_docs = np.empty(0, dtype=np.uint64)
-        top_scores = np.empty(0, dtype=np.float64)
-        theta = -math.inf
-
-        # Process intervals in DESCENDING upper-bound order: θ reaches its
-        # final value after ~k high-bound intervals, and the first interval
-        # with ub < θ ends the loop (argsort is desc, so every later one is
-        # smaller too). Exactness is order-independent — a skipped interval
-        # has every true score ≤ ub < θ ≤ θ_final, strictly below the kth
-        # result even under the doc_id tie-break.
-        #
-        # Inside a surviving interval, the WAND essential/non-essential
-        # split: sort covering blocks by block-max ascending and cut off the
-        # largest prefix N with Σ_N bm < θ — a doc containing ONLY N-terms
-        # cannot reach θ, so candidates are gathered (and decoded) from the
-        # essential terms alone. Non-essential blocks are decoded lazily,
-        # only when a candidate's optimistic bound (essential partials +
-        # Σ_N bm) still clears θ. A sparse term's block spanning a huge doc
-        # range therefore no longer forces decoding every dense block it
-        # overlaps — dense-term decode cost is ∝ candidates, not range.
-        for i in np.argsort(-ub, kind="stable"):
-            if ub[i] < theta - eps:
-                break
-            lo = bounds[i]
-            hi = bounds[i + 1] if i + 1 < len(bounds) else None  # None = +inf
-            # cov stays in canonical (terms-list) order; the essential/
-            # non-essential split is computed over a bm-sorted VIEW so the
-            # summation order below never depends on θ
-            cov: list[tuple[_TermBlocks, int, float]] = []
-            for t in terms:
-                j = t.covering_block(lo)
-                if j >= 0:
-                    cov.append((t, j, float(t.bms[j])))
-            if not cov:
-                continue
-            if theta == -math.inf or len(cov) == 1:
-                ness_i: set[int] = set()
-                nbm = 0.0
-            else:
-                by_bm = sorted(range(len(cov)), key=lambda i: cov[i][2])
-                acc = 0.0
-                ness_i = set()
-                for i_c in by_bm:
-                    bm_c = cov[i_c][2]
-                    if acc + bm_c < theta - eps:
-                        acc += bm_c
-                        ness_i.add(i_c)
-                    else:
-                        break
-                nbm = acc
-            ess = [cov[i_c] for i_c in range(len(cov)) if i_c not in ness_i]
-            cand_docs, cand_scores = [], []
-            for t, j, _bm in ess:
-                docs_u, scores = t.partials(j)
-                a = int(np.searchsorted(docs_u, lo))
-                b = int(np.searchsorted(docs_u, hi)) if hi is not None else len(docs_u)
-                if a < b:
-                    cand_docs.append(docs_u[a:b])
-                    cand_scores.append(scores[a:b])
-            if not cand_docs:
-                continue
-            d = np.concatenate(cand_docs)
-            s_est = np.concatenate(cand_scores)
-            if len(cand_docs) > 1:
-                order = np.argsort(d, kind="stable")
-                d, s_est = d[order], s_est[order]
-                starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
-                d = d[starts]
-                # reduceat is an ESTIMATE only: numpy reduce uses pairwise
-                # association, so its float result depends on how partials
-                # happen to group — never emit it as a score
-                s_est = np.add.reduceat(s_est, starts)
-            if ness_i:
-                # keep candidates whose optimistic bound clears θ. Margin:
-                # eps (metadata-sweep error) + a reorder term — the estimate
-                # sums in pairwise order while the final score sums
-                # sequentially, and reorder error is ≤ n·ulp·Σ|partials|.
-                opt = s_est + nbm
-                keep = opt >= theta - eps - len(cov) * np.finfo(np.float64).eps * np.abs(opt)
-                if not keep.any():
-                    continue
-                d = d[keep]
-            # canonical score: strict left-to-right fold over ALL covering
-            # terms in terms-list (query appearance) order — the oracle's
-            # accumulation order. Adding 0.0 for a term not containing the
-            # doc is exact, so this equals the oracle's skip-absent-terms
-            # accumulation; non-essential blocks decode lazily, only here.
-            s = np.zeros(len(d), dtype=np.float64)
-            for t, j, _bm in cov:
-                docs_u, scores = t.partials(j)
-                pos = np.minimum(np.searchsorted(docs_u, d), len(docs_u) - 1)
-                s = s + np.where(docs_u[pos] == d, scores[pos], 0.0)
-            # merge into running top-k: (-score, doc_u) lexicographic
-            md = np.concatenate([top_docs, d])
-            ms = np.concatenate([top_scores, s])
-            sel = np.lexsort((md, -ms))[:k]
-            top_docs, top_scores = md[sel], ms[sel]
-            if len(top_docs) >= k:
-                theta = top_scores[-1]
-
-        order = np.lexsort((top_docs, -top_scores))
-        return pd.DataFrame(
-            {
-                "doc_id": top_docs[order].view(np.int64),
-                "score": top_scores[order],
-            }
-        )
+        return _wand_terms_topk(terms, k)
 
     return run
+
+
+def _wand_terms_topk(terms: list["_TermBlocks"], k: int) -> pd.DataFrame:
+    """Block-max WAND top-k over prebuilt per-term block structures.
+
+    Split out of ``_wand_slice`` so batch retrieval can build each term's
+    ``_TermBlocks`` ONCE per slice group and share it (with its memoized
+    decoded blocks) across every query in the batch that references the
+    term — queries in a batch overlap heavily in vocabulary, and without
+    sharing, each of B queries re-sliced the metadata frame and re-decoded
+    the same hot blocks (measured ~6x of the batch stage's wall at 64
+    queries). ``terms`` must be in the query's canonical term order.
+    """
+    if not terms:
+        return pd.DataFrame(
+            {"doc_id": np.empty(0, dtype=np.int64),
+             "score": np.empty(0, dtype=np.float64)}
+        )
+    # ---- level 1: interval upper bounds from block metadata only ----
+    all_firsts = np.concatenate([t.firsts_u for t in terms])
+    all_lasts = np.concatenate([t.lasts_u for t in terms])
+    all_bms = np.concatenate([t.bms for t in terms])
+    open_end = all_lasts == np.uint64(0xFFFFFFFFFFFFFFFF)  # +1 would wrap
+    bounds = np.unique(np.concatenate([all_firsts, all_lasts[~open_end] + np.uint64(1)]))
+    ub = np.zeros(len(bounds), dtype=np.float64)
+    np.add.at(ub, np.searchsorted(bounds, all_firsts), all_bms)
+    closes = np.searchsorted(bounds, all_lasts[~open_end] + np.uint64(1))
+    np.subtract.at(ub, closes[closes < len(bounds)], all_bms[~open_end][closes < len(bounds)])
+    ub = np.cumsum(ub)
+    # Float-safety margin for every θ-comparison below. The sweep +
+    # cumsum accumulates rounding error ∝ len(bounds)·eps·max|prefix|,
+    # which can push an interval's bound a few ulp BELOW the true
+    # Σ block-max; a doc whose true score EQUALS θ must still be decoded
+    # (it can win the kth slot via the unsigned-doc_id tie-break), so a
+    # bound-vs-θ skip that is exact-arithmetic-safe needs headroom for
+    # that error. False keeps only cost a few extra block decodes.
+    eps = (len(bounds) + len(all_bms)) * np.finfo(np.float64).eps * (
+        float(np.max(np.abs(ub))) if len(ub) else 0.0
+    )
+
+    # ---- level 2: decode + score surviving intervals, vectorized ----
+    top_docs = np.empty(0, dtype=np.uint64)
+    top_scores = np.empty(0, dtype=np.float64)
+    theta = -math.inf
+
+    # Process intervals in DESCENDING upper-bound order: θ reaches its
+    # final value after ~k high-bound intervals, and the first interval
+    # with ub < θ ends the loop (argsort is desc, so every later one is
+    # smaller too). Exactness is order-independent — a skipped interval
+    # has every true score ≤ ub < θ ≤ θ_final, strictly below the kth
+    # result even under the doc_id tie-break.
+    #
+    # Inside a surviving interval, the WAND essential/non-essential
+    # split: sort covering blocks by block-max ascending and cut off the
+    # largest prefix N with Σ_N bm < θ — a doc containing ONLY N-terms
+    # cannot reach θ, so candidates are gathered (and decoded) from the
+    # essential terms alone. Non-essential blocks are decoded lazily,
+    # only when a candidate's optimistic bound (essential partials +
+    # Σ_N bm) still clears θ. A sparse term's block spanning a huge doc
+    # range therefore no longer forces decoding every dense block it
+    # overlaps — dense-term decode cost is ∝ candidates, not range.
+    for i in np.argsort(-ub, kind="stable"):
+        if ub[i] < theta - eps:
+            break
+        lo = bounds[i]
+        hi = bounds[i + 1] if i + 1 < len(bounds) else None  # None = +inf
+        # cov stays in canonical (terms-list) order; the essential/
+        # non-essential split is computed over a bm-sorted VIEW so the
+        # summation order below never depends on θ
+        cov: list[tuple[_TermBlocks, int, float]] = []
+        for t in terms:
+            j = t.covering_block(lo)
+            if j >= 0:
+                cov.append((t, j, float(t.bms[j])))
+        if not cov:
+            continue
+        if theta == -math.inf or len(cov) == 1:
+            ness_i: set[int] = set()
+            nbm = 0.0
+        else:
+            by_bm = sorted(range(len(cov)), key=lambda i: cov[i][2])
+            acc = 0.0
+            ness_i = set()
+            for i_c in by_bm:
+                bm_c = cov[i_c][2]
+                if acc + bm_c < theta - eps:
+                    acc += bm_c
+                    ness_i.add(i_c)
+                else:
+                    break
+            nbm = acc
+        ess = [cov[i_c] for i_c in range(len(cov)) if i_c not in ness_i]
+        cand_docs, cand_scores = [], []
+        for t, j, _bm in ess:
+            docs_u, scores = t.partials(j)
+            a = int(np.searchsorted(docs_u, lo))
+            b = int(np.searchsorted(docs_u, hi)) if hi is not None else len(docs_u)
+            if a < b:
+                cand_docs.append(docs_u[a:b])
+                cand_scores.append(scores[a:b])
+        if not cand_docs:
+            continue
+        d = np.concatenate(cand_docs)
+        s_est = np.concatenate(cand_scores)
+        if len(cand_docs) > 1:
+            order = np.argsort(d, kind="stable")
+            d, s_est = d[order], s_est[order]
+            starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+            d = d[starts]
+            # reduceat is an ESTIMATE only: numpy reduce uses pairwise
+            # association, so its float result depends on how partials
+            # happen to group — never emit it as a score
+            s_est = np.add.reduceat(s_est, starts)
+        if ness_i:
+            # keep candidates whose optimistic bound clears θ. Margin:
+            # eps (metadata-sweep error) + a reorder term — the estimate
+            # sums in pairwise order while the final score sums
+            # sequentially, and reorder error is ≤ n·ulp·Σ|partials|.
+            opt = s_est + nbm
+            keep = opt >= theta - eps - len(cov) * np.finfo(np.float64).eps * np.abs(opt)
+            if not keep.any():
+                continue
+            d = d[keep]
+        # canonical score: strict left-to-right fold over ALL covering
+        # terms in terms-list (query appearance) order — the oracle's
+        # accumulation order. Adding 0.0 for a term not containing the
+        # doc is exact, so this equals the oracle's skip-absent-terms
+        # accumulation; non-essential blocks decode lazily, only here.
+        s = np.zeros(len(d), dtype=np.float64)
+        for t, j, _bm in cov:
+            docs_u, scores = t.partials(j)
+            pos = np.minimum(np.searchsorted(docs_u, d), len(docs_u) - 1)
+            s = s + np.where(docs_u[pos] == d, scores[pos], 0.0)
+        # merge into running top-k: (-score, doc_u) lexicographic
+        md = np.concatenate([top_docs, d])
+        ms = np.concatenate([top_scores, s])
+        sel = np.lexsort((md, -ms))[:k]
+        top_docs, top_scores = md[sel], ms[sel]
+        if len(top_docs) >= k:
+            theta = top_scores[-1]
+
+    order = np.lexsort((top_docs, -top_scores))
+    return pd.DataFrame(
+        {
+            "doc_id": top_docs[order].view(np.int64),
+            "score": top_scores[order],
+        }
+    )
+
