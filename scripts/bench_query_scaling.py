@@ -66,13 +66,18 @@ def make_queries(n: int) -> dict[int, str]:
 
 
 def child(cpus: int, index_dir: str, n_queries: int, repeats: int,
-          n_groups: int | None) -> None:
+          n_groups: int | None, shuffle_partitions: int) -> None:
     from bench_scaling import _session  # same strict per-level JVM protocol
 
     from statschat_ke_spark.benchutil import subtree_cpu_seconds
     from statschat_ke_spark.index.query import topk_batch
 
-    spark = _session(cpus)
+    # shuffle_partitions is pinned IDENTICAL across levels (like --n-groups
+    # and bench_scaling's num_partitions): _session's per-level default
+    # (cpus*2) would give each level a different job shape — different task
+    # boundaries for the applyInPandas shuffle and the ranking window — and
+    # the whole point is the identical job at two concurrency levels.
+    spark = _session(cpus, shuffle_partitions=shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
     queries = make_queries(n_queries)
 
@@ -84,9 +89,12 @@ def child(cpus: int, index_dir: str, n_queries: int, repeats: int,
         rows = topk_batch(spark, index_dir, queries, k=10, n_groups=n_groups).collect()
         walls.append(time.time() - t0)
         # rank-identity fingerprint: stable across levels iff the engine
-        # returns the same docs in the same order with the same scores
+        # returns the same docs in the same order with BIT-identical scores
+        # (float64 hex, not a 6-dp rounding — an order-dependent-summation
+        # regression perturbs last ulps only and must fail this check, the
+        # same bar as tests/test_rank_identity.py's bit-pattern compare)
         canon = sorted(
-            (r["query_id"], r["rank"], r["doc_id"], round(float(r["score"]), 6))
+            (r["query_id"], r["rank"], r["doc_id"], float(r["score"]).hex())
             for r in rows
         )
         result_hash = hashlib.sha256(
@@ -115,7 +123,7 @@ def child(cpus: int, index_dir: str, n_queries: int, repeats: int,
 
 
 def run_child(cpus: int, index_dir: str, n_queries: int, repeats: int,
-              n_groups: int) -> dict:
+              n_groups: int, shuffle_partitions: int) -> dict:
     from bench_scaling import pin_cmd  # taskset affinity cap, same protocol
 
     out = subprocess.run(
@@ -123,7 +131,8 @@ def run_child(cpus: int, index_dir: str, n_queries: int, repeats: int,
         + [sys.executable, os.path.abspath(__file__), "--child",
            "--cpus", str(cpus), "--index", index_dir,
            "--n-queries", str(n_queries), "--repeats", str(repeats),
-           "--n-groups", str(n_groups)],
+           "--n-groups", str(n_groups),
+           "--shuffle-partitions", str(shuffle_partitions)],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
     for line in out.stdout.splitlines():
@@ -150,13 +159,17 @@ def main() -> None:
                          "to defaultParallelism, so levels would run "
                          "different jobs). Default 16 = the 8-core "
                          "operating point's natural choice.")
+    ap.add_argument("--shuffle-partitions", type=int, default=32,
+                    help="spark.sql.shuffle.partitions, IDENTICAL at every "
+                         "level (the per-level default would change the job "
+                         "shape between levels)")
     ap.add_argument("--out", type=str,
                     default=os.path.join(REPO, "BENCH_QUERY_SCALING.json"))
     args = ap.parse_args()
 
     if args.child:
         child(args.cpus, args.index, args.n_queries, args.repeats,
-              args.n_groups or None)
+              args.n_groups or None, args.shuffle_partitions)
         return
 
     stats = json.load(open(os.path.join(args.index, "stats.json")))
@@ -168,6 +181,7 @@ def main() -> None:
         "repeats": args.repeats,
         "selection": "min batch wall per level (hypervisor-pause robust)",
         "n_groups": args.n_groups,
+        "shuffle_partitions": args.shuffle_partitions,
         "levels": {},
         "pairs": [],
     }
@@ -177,7 +191,8 @@ def main() -> None:
     for lvl in levels:
         print(f"running local[{lvl}] ...", flush=True)
         report["levels"][str(lvl)] = run_child(
-            lvl, args.index, args.n_queries, args.repeats, args.n_groups
+            lvl, args.index, args.n_queries, args.repeats, args.n_groups,
+            args.shuffle_partitions,
         )
         print(json.dumps(report["levels"][str(lvl)]), flush=True)
 

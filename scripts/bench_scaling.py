@@ -161,7 +161,38 @@ def pin_cmd(cpus: int) -> list[str]:
 
     if os.environ.get("SPARK_GRAFT_NO_PIN") or not _sh.which("taskset"):
         return []
-    return ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"]
+    return ["taskset", "-c", ",".join(str(c) for c in _pin_cpus(cpus))]
+
+
+def _pin_cpus(n: int) -> list[int]:
+    """N logical CPUs on N DISTINCT physical cores, SMT-sibling-aware.
+
+    `taskset -c 0-(N-1)` silently assumes the first N logical CPUs are N
+    distinct cores; on hosts that enumerate SMT siblings adjacently (common
+    AMD BIOSes: cpu0/cpu1 share a core) that would hand the LOW level N/2
+    cores' worth of hyperthreads while the high level spans real cores —
+    inflating measured N→4N efficiency. Pick the first listed sibling of
+    each distinct core (kernel enumeration order) until N cores are
+    covered; overflow (n > physical cores) and unreadable topology fall
+    back to 0..n-1. On this sandbox's guest (1 thread/core exposed) the
+    result IS 0..n-1, i.e. the historical runs are unaffected."""
+    seen: set[str] = set()
+    picks: list[int] = []
+    try:
+        cpu = 0
+        while len(picks) < n:
+            p = f"/sys/devices/system/cpu/cpu{cpu}/topology/thread_siblings_list"
+            if not os.path.exists(p):
+                break
+            with open(p) as f:
+                sibs = f.read().strip()
+            if sibs not in seen:
+                seen.add(sibs)
+                picks.append(cpu)
+            cpu += 1
+    except OSError:
+        picks = []
+    return picks if len(picks) == n else list(range(n))
 
 
 def run_child(cpus: int, input_dir: str, num_partitions: int) -> dict:

@@ -31,8 +31,15 @@ from statschat_ke_spark.functions.refops import (
     html_escape,
     latest_weight,
 )
-from statschat_ke_spark.index.query import topk
+from statschat_ke_spark.index.query import LONG_MIN, topk
 from statschat_ke_spark.operators.postproc import search_pipeline
+
+
+def _doc_u_asc():
+    """Canonical score-tie order: doc_id ascending UNSIGNED — the engine-wide
+    tie-break (index/query.py topk, the numpy oracle). doc_id = xxhash64(url)
+    is ~half negative, so a signed F.asc would invert tie order vs topk's."""
+    return F.col("doc_id").bitwiseXOR(F.lit(LONG_MIN)).asc()
 
 
 def search(
@@ -100,7 +107,7 @@ def search(
                     "doc_id",
                     "inner",
                 )
-                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .orderBy(F.desc("score"), _doc_u_asc())
                 .limit(k)
             )
         else:
@@ -131,11 +138,11 @@ def search(
 
         out = (
             hits.filter(F.col("score") >= min_score)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .orderBy(F.desc("score"), _doc_u_asc())
             .limit(k_contexts)
             .withColumn(
                 "doc_num",
-                F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id"))),
+                F.row_number().over(W.orderBy(F.desc("score"), _doc_u_asc())),
             )
             .withColumn("score", F.round("score", 2))
         )

@@ -27,6 +27,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
+import threading
 from typing import Callable, Iterable
 from urllib.parse import parse_qs
 
@@ -41,6 +42,13 @@ def _json_default(o):
 
 DEFAULT_FEEDBACK_MAX_BYTES = 64 << 20
 
+# Serializes the check-then-rename in rotation: without it two writers can
+# both observe size >= cap and both os.replace, the second clobbering the
+# generation the first just rotated aside (a full 64 MB of feedback lost).
+# In-process lock — the threaded WSGI server is the supported concurrency;
+# multi-PROCESS writers would need an flock on a sidecar lockfile instead.
+_FEEDBACK_LOCK = threading.Lock()
+
 
 def _append_feedback_line(path: str, line: str, max_bytes: int) -> None:
     """Durable JSON-line append: O_APPEND single-write (atomic interleaving
@@ -48,17 +56,18 @@ def _append_feedback_line(path: str, line: str, max_bytes: int) -> None:
     at ``max_bytes`` the live file is renamed to ``path + ".1"`` (one rotated
     generation kept; swap this hook for shipping/compression in production)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    try:
-        if max_bytes and os.path.getsize(path) >= max_bytes:
-            os.replace(path, path + ".1")
-    except OSError:
-        pass  # no live file yet
-    fd = os.open(path, os.O_APPEND | os.O_CREAT | os.O_WRONLY, 0o644)
-    try:
-        os.write(fd, line.encode("utf-8"))
-        os.fsync(fd)
-    finally:
-        os.close(fd)
+    with _FEEDBACK_LOCK:
+        try:
+            if max_bytes and os.path.getsize(path) >= max_bytes:
+                os.replace(path, path + ".1")
+        except OSError:
+            pass  # no live file yet
+        fd = os.open(path, os.O_APPEND | os.O_CREAT | os.O_WRONLY, 0o644)
+        try:
+            os.write(fd, line.encode("utf-8"))
+            os.fsync(fd)
+        finally:
+            os.close(fd)
 
 
 class StatsChatApp:

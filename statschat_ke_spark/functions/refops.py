@@ -273,7 +273,7 @@ def sentinel_metadata_cols(df, text: Column):
     Bit-identical to sentinel_metadata() (asserted in test_refops)."""
     tmp = [
         "_sm_text", "_sm_body", "_sm_sub", "_sm_pub", "_sm_toks", "_sm_n",
-        "_sm_alt", "_sm_datep",
+        "_sm_alt", "_sm_datep", "_sm_years",
     ]
     out = (
         df.withColumn("_sm_text", text)
@@ -297,24 +297,23 @@ def sentinel_metadata_cols(df, text: Column):
                 F.concat_ws(" ", F.slice(F.col("_sm_toks"), F.col("_sm_n") - 1, 2)),
             ).otherwise(F.lit("Unknown")),
         )
+        # the 96-year sequence+contains scan is the function's largest
+        # subexpression — staged as its own named column (the rule every
+        # other shared intermediate here follows) so it is analyzed and
+        # codegen'd once, not once per consumer below
+        .withColumn(
+            "_sm_years",
+            F.filter(
+                F.sequence(F.lit(1954), F.lit(2049)),
+                lambda y: F.contains(F.col("_sm_alt"), y.cast("string")),
+            ),
+        )
         .withColumn(
             "date",
             F.when(F.col("_sm_datep") != "Unknown", F.col("_sm_datep")).otherwise(
                 F.when(
-                    F.size(
-                        F.filter(
-                            F.sequence(F.lit(1954), F.lit(2049)),
-                            lambda y: F.contains(F.col("_sm_alt"), y.cast("string")),
-                        )
-                    )
-                    > 0,
-                    F.element_at(
-                        F.filter(
-                            F.sequence(F.lit(1954), F.lit(2049)),
-                            lambda y: F.contains(F.col("_sm_alt"), y.cast("string")),
-                        ),
-                        -1,
-                    ).cast("string"),
+                    F.size("_sm_years") > 0,
+                    F.element_at(F.col("_sm_years"), -1).cast("string"),
                 ).otherwise(F.lit("Unknown"))
             ),
         )

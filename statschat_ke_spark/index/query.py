@@ -42,6 +42,13 @@ K1 = 1.2
 B = 0.75
 LONG_MIN = -(2**63)
 
+# Per-task cap on the batch path's shared decoded-block memo (docs_u +
+# scores ≈ 16 B/posting). Sized so n_concurrent_tasks × cap fits a typical
+# executor: 32 tasks × 256 MB = 8 GB. Past the cap blocks decode per use.
+BATCH_DECODE_CACHE_BYTES = int(
+    os.environ.get("STATSCHAT_BATCH_DECODE_CACHE_BYTES", 256 * 2**20)
+)
+
 RESULT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -369,8 +376,15 @@ def topk_batch(
         # re-decoded the same hot blocks B times per group and was ~6x of
         # the batch stage's wall at 64 queries. Per query, terms are picked
         # from the cache in the query's canonical term order.
+        #
+        # The shared decode memo is budget-capped: structures live for the
+        # WHOLE group, so an uncapped memo's peak would be the union of
+        # every query's decoded blocks (vs one query's before sharing) —
+        # an executor-OOM risk on large slice groups. Hot cross-query
+        # blocks fill the cap first; past it, blocks decode per use.
+        budget = {"left": BATCH_DECODE_CACHE_BYTES}
         tb_cache = {
-            int(t): _TermBlocks(idf_all[int(t)], g, avgdl)
+            int(t): _TermBlocks(idf_all[int(t)], g, avgdl, budget)
             for t, g in pdf.groupby("term_id", sort=False)
         }
         for qid, idf_map in idf_by_q.items():
@@ -457,11 +471,24 @@ def _exhaustive_scorer(idf_map: dict[int, float], avgdl: float):
 class _TermBlocks:
     """One query term's blocks within a slice: block-range metadata as numpy
     arrays (first/last doc in unsigned order, block-max score) plus lazy
-    memoized decode+score of whole blocks — never per-doc Python."""
+    memoized decode+score of whole blocks — never per-doc Python.
 
-    __slots__ = ("idf", "firsts_u", "lasts_u", "bms", "_raw", "_avgdl", "_cache")
+    ``budget`` (optional, SHARED across all of a group's terms): a mutable
+    ``{"left": bytes}`` cap on total memoized decode output. The batch path
+    keeps every term's structure alive for the whole group, so without a cap
+    peak task memory is the union of every query's decoded blocks (~16
+    B/posting) instead of one query's. Once the budget is spent, further
+    blocks are decoded per use but NOT retained — the hot blocks (touched
+    first, by the highest-upper-bound intervals, and shared across queries)
+    occupy the cache; cold-tail blocks cost a re-decode, never memory."""
 
-    def __init__(self, idf: float, g: pd.DataFrame, avgdl: float):
+    __slots__ = (
+        "idf", "firsts_u", "lasts_u", "bms", "_raw", "_avgdl", "_cache", "_budget"
+    )
+
+    def __init__(
+        self, idf: float, g: pd.DataFrame, avgdl: float, budget: dict | None = None
+    ):
         self.idf = idf
         # a group may span several slices; slices are doc-range-contiguous
         # (slice = top bits of doc_u), so (slice, block_id) order IS global
@@ -480,6 +507,7 @@ class _TermBlocks:
         self._raw = list(zip(g["doc_ids"].tolist(), g["tfs"].tolist(), g["dls"].tolist()))
         self._avgdl = avgdl
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._budget = budget
 
     def partials(self, j: int) -> tuple[np.ndarray, np.ndarray]:
         """(docs_u, bm25_partial) for block j — vectorized, decoded once."""
@@ -493,7 +521,13 @@ class _TermBlocks:
         scores = self.idf * tfs * (K1 + 1.0) / (
             tfs + K1 * (1.0 - B + B * dls / self._avgdl)
         )
-        self._cache[j] = (docs_u, scores)
+        if self._budget is None:
+            self._cache[j] = (docs_u, scores)
+        else:
+            nbytes = docs_u.nbytes + scores.nbytes
+            if self._budget["left"] >= nbytes:
+                self._budget["left"] -= nbytes
+                self._cache[j] = (docs_u, scores)
         return docs_u, scores
 
     def covering_block(self, lo_u: np.uint64) -> int:
