@@ -331,6 +331,8 @@ def _stage_chunk(
     partial rewrite is idempotent). The pair explosion is deferred to phase B
     where it streams out of columnar parquet instead of costing a second
     materialization here."""
+    from pyspark.sql import Observation
+
     ts = time.time()
     tok = cdf.withColumn("tok", tokenize_doc_udf(F.col("text"))).select(
         "doc_id",
@@ -340,17 +342,54 @@ def _stage_chunk(
         F.col("tok.tfs").alias("tfs"),
     )
     path = os.path.join(index_dir, "staged", f"chunk={chunk}")
-    tok.write.mode("overwrite").parquet(path)
-    # row count from parquet footers — metadata-only, no recompute
-    n_rows = spark.read.parquet(path).count()
+    # row count observed DURING the write — no read-back job, and at scale no
+    # second listing+footer pass over the chunk just staged
+    obs = Observation()
+    tok.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    n_rows = int(obs.get["rows"])
     # n_files records the listing-level slice size (bytes-read evidence that
     # file-chunked builds scan the input once total); -1 = not file-chunked
-    lineage_row = spark.createDataFrame(
-        [(chunk, int(n_rows), float(time.time() - ts), time.time(), int(n_files))],
-        "chunk int, rows_in long, wall_s double, committed_at double, n_files int",
+    _append_lineage_row(
+        os.path.join(index_dir, "_lineage"),
+        chunk=chunk,
+        rows_in=int(n_rows),
+        wall_s=float(time.time() - ts),
+        committed_at=time.time(),
+        n_files=int(n_files),
     )
-    lineage_row.write.mode("append").parquet(os.path.join(index_dir, "_lineage"))
     return int(n_rows)
+
+
+def _append_lineage_row(
+    lineage_dir: str, *, chunk: int, rows_in: int, wall_s: float,
+    committed_at: float, n_files: int
+) -> None:
+    """Driver-side lineage commit: one parquet file per chunk commit, written
+    with pyarrow under a unique name (append semantics without a Spark job —
+    a one-row cluster job per chunk is pure scheduler overhead; lineage is
+    commit METADATA, written driver-side exactly as Iceberg writes its commit
+    metadata). Types mirror the Spark schema ``chunk int, rows_in long,
+    wall_s double, committed_at double, n_files int`` so files from either
+    writer read back as one table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(lineage_dir, exist_ok=True)
+    table = pa.table(
+        {
+            "chunk": pa.array([chunk], type=pa.int32()),
+            "rows_in": pa.array([rows_in], type=pa.int64()),
+            "wall_s": pa.array([wall_s], type=pa.float64()),
+            "committed_at": pa.array([committed_at], type=pa.float64()),
+            "n_files": pa.array([n_files], type=pa.int32()),
+        }
+    )
+    tmp = os.path.join(lineage_dir, f"_tmp-{uuid.uuid4().hex}.parquet")
+    pq.write_table(table, tmp)
+    # rename is atomic on posix; readers never see a partial lineage file
+    os.replace(tmp, os.path.join(lineage_dir, f"commit-{uuid.uuid4().hex}.parquet"))
 
 
 def staged_chunks(spark: SparkSession, index_dir: str) -> set[int]:
@@ -821,8 +860,11 @@ def _build_segment(
     # (tiny, term_id-pruned) query-time probe.
     tp = time.time()
     pst = spark.read.parquet(os.path.join(index_dir, "postings", seg_sub))
+    lex_box: list = []
 
     def _write_lexicon() -> None:
+        from pyspark.sql import Observation
+
         tpl = time.time()
         term_dict = (
             staged.select(F.explode("terms").alias("term"))
@@ -838,11 +880,14 @@ def _build_segment(
             lexicon = lex_stats.join(term_dict, "term_id").select(
                 "term_id", "term", "df", "cf"
             )
-            lexicon.repartition(max(1, P_pack // 4), "term_id").sortWithinPartitions(
-                "term_id"
-            ).write.mode("overwrite").parquet(
+            # segment term count observed during the write (no read-back job)
+            obs = Observation()
+            lexicon.observe(obs, F.count(F.lit(1)).alias("rows")).repartition(
+                max(1, P_pack // 4), "term_id"
+            ).sortWithinPartitions("term_id").write.mode("overwrite").parquet(
                 os.path.join(index_dir, "lexicon", seg_sub)
             )
+            lex_box.append(int(obs.get["rows"]))
         finally:
             term_dict.unpersist()
         timings["lexicon"] = time.time() - tpl
@@ -883,6 +928,7 @@ def _build_segment(
         "postings": int(agg.postings or 0),
         "max_p": float(agg.max_p or 0.0),
         "avg_p": float(agg.avg_p or 0.0),
+        "n_terms": int(lex_box[0]) if lex_box else 0,
     }
 
 
@@ -983,8 +1029,9 @@ def merge_index(
     seg_stats = _build_segment(
         spark, staged, index_dir, 0, P_pack=P_pack, P_docs=P_docs, timings=timings
     )
-    # lexicon row count from the parquet just written (metadata-only count)
-    n_terms = spark.read.parquet(os.path.join(index_dir, "lexicon")).count()
+    # a full compaction leaves exactly one segment, so the segment's observed
+    # lexicon row count IS the global term count — no read-back job
+    n_terms = seg_stats["n_terms"]
     wall = time.time() - t0
 
     stats = {
