@@ -28,8 +28,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from statschat_ke_spark.functions.refops import (
     highlight_udf,
-    html_escape,
-    latest_weight,
+    html_escape_py,
+    latest_weight_py,
 )
 from statschat_ke_spark.index.query import LONG_MIN, topk
 from statschat_ke_spark.operators.postproc import search_pipeline
@@ -81,15 +81,11 @@ def search(
         fetch_k = 4 * k if will_filter_latest else k
     hits = topk(spark, index_dir, q, k=max(fetch_k, k), mode=mode, with_url=True)
 
-    lw_row = (
-        spark.range(1)
-        .select(
-            latest_weight(F.lit(q), latest_max).alias("lw"),
-            html_escape(F.lit(q)).alias("q_esc"),
-        )
-        .first()
-    )
-    lw, q_escaped = float(lw_row.lw), str(lw_row.q_esc)
+    # driver-side twins of the F7/F15 Column functions (parity-tested): the
+    # question is a driver-local string, and a 1-row Spark job per request
+    # just to evaluate literals is a hidden serving-path job
+    lw = latest_weight_py(q, latest_max)
+    q_escaped = html_escape_py(q)
 
     if metadata is not None:
         if will_filter_latest:

@@ -85,6 +85,20 @@ def latest_weight(question: Column, latest_max: float = 2.0) -> Column:
     ).otherwise(F.lit(latest_max / 2.0))
 
 
+def latest_weight_py(question: str, latest_max: float = 2.0) -> float:
+    """Driver-side twin of ``latest_weight`` for the serving path (the query
+    string lives on the driver; spinning a 1-row Spark job per request to
+    evaluate a literal is pure overhead). Parity-tested against the Column
+    version."""
+    import re
+
+    return (
+        latest_max
+        if re.search("(recent)|(latest)", question.lower())
+        else latest_max / 2.0
+    )
+
+
 def trim_context(text: Column) -> Column:
     """F9 — drop first and last whitespace token (generative/utils.py:80-92)."""
     toks = F.split(text, " ")
@@ -110,6 +124,15 @@ def html_escape(s: Column) -> Column:
     out = F.replace(s, F.lit("&"), F.lit("&amp;"))
     for ch, ent in (("<", "&lt;"), (">", "&gt;"), ('"', "&#34;"), ("'", "&#39;")):
         out = F.replace(out, F.lit(ch), F.lit(ent))
+    return out
+
+
+def html_escape_py(s: str) -> str:
+    """Driver-side twin of ``html_escape`` for the serving path — same five
+    entities, '&' first. Parity-tested against the Column version."""
+    out = s.replace("&", "&amp;")
+    for ch, ent in (("<", "&lt;"), (">", "&gt;"), ('"', "&#34;"), ("'", "&#39;")):
+        out = out.replace(ch, ent)
     return out
 
 

@@ -93,6 +93,24 @@ def test_latest_weight(spark):
     assert one(spark, w, q="inflation in 2009") == 1.0
 
 
+def test_latest_weight_py_parity(spark):
+    """Driver-side twin == Column version (the serving path uses the twin)."""
+    from statschat_ke_spark.functions.refops import latest_weight_py
+
+    for q in ["most recent inflation", "latest GDP", "inflation in 2009",
+              "RECENT news", "", "related"]:
+        assert latest_weight_py(q) == one(spark, latest_weight(F.col("q")), q=q)
+
+
+def test_html_escape_py_parity(spark):
+    from statschat_ke_spark.functions.refops import html_escape, html_escape_py
+    import markupsafe
+
+    for c in ['<b>&"quoted"\'</b>', "plain", "a&amp;b", "x<&>'\"y"]:
+        assert html_escape_py(c) == one(spark, html_escape(F.col("s")), s=c)
+        assert html_escape_py(c) == str(markupsafe.escape(c))
+
+
 def test_trim_context(spark):
     assert one(spark, trim_context(F.col("t")), t="a b c d") == "b c"
     assert one(spark, trim_context(F.col("t")), t="a b") == ""
