@@ -393,12 +393,20 @@ def _append_lineage_row(
 
 
 def staged_chunks(spark: SparkSession, index_dir: str) -> set[int]:
-    """Chunks whose lineage row committed (completed phase-A units)."""
+    """Chunks whose lineage row committed (completed phase-A units).
+
+    Lineage is driver-written commit metadata (one tiny file per chunk), so
+    it is read back driver-side with pyarrow — no Spark job on the resume /
+    append path. pyarrow's dataset discovery skips ``_``/``.``-prefixed
+    files, so legacy Spark-written ``_SUCCESS`` markers are ignored, and
+    legacy Spark-written lineage part-files read back identically."""
+    import pyarrow.parquet as pq
+
     lineage_path = os.path.join(index_dir, "_lineage")
     if not os.path.exists(lineage_path):
         return set()
-    done = spark.read.parquet(lineage_path).select("chunk").distinct().collect()
-    return {r.chunk for r in done}
+    table = pq.read_table(lineage_path, columns=["chunk"])
+    return {int(c) for c in table.column("chunk").to_pylist()}
 
 
 def _chunk_files(path: str) -> list[str]:
