@@ -72,6 +72,39 @@ def load_stats(index_dir: str) -> dict:
         return json.load(f)
 
 
+def check_index_format(index_dir: str) -> None:
+    """Fail fast, with a clear message, before querying an index that is not
+    a committed snapshot of the format this engine reads.
+
+    Two distinct failure shapes, both otherwise confusing at query time:
+    an ABSENT ``_SUCCESS.json`` means the last build/append never committed
+    (crash mid-build, or an ``ingest_stream(merge=False)`` drain awaiting its
+    merge) — tables may be partially written; a format-version MISMATCH
+    means the posting/block layout on disk is not what this decoder assumes
+    (e.g. a v1 index's baked tf-normalized block bounds would make v2's
+    avgdl-free WAND pruning silently unsafe rather than loudly wrong)."""
+    from statschat_ke_spark.index.build import INDEX_FORMAT
+
+    p = os.path.join(index_dir, "_SUCCESS.json")
+    try:
+        with open(p) as f:
+            marker = json.load(f)
+    except OSError:
+        raise RuntimeError(
+            f"index at {index_dir!r} has no _SUCCESS.json commit marker — "
+            "the build was interrupted before commit or a streaming drain "
+            "ran with merge=False; finish the build (merge_index / "
+            "append_segment) before querying"
+        ) from None
+    fmt = marker.get("format")
+    if fmt != INDEX_FORMAT:
+        raise RuntimeError(
+            f"index at {index_dir!r} is format {fmt!r} but this engine reads "
+            f"format {INDEX_FORMAT} — rebuild the index (build_index) or "
+            "query with the matching engine version"
+        )
+
+
 # Driver-side probe cache — the engine analog of the reference's
 # ``lru_cache`` on make_query (cloud_llm.py:235, SURVEY §2.8 "query-result
 # cache dict in the query driver"). Keyed by the index's commit version
@@ -196,6 +229,7 @@ def topk(
     rank-identical (property-tested). The resolved mode is recorded in
     ``LAST_QUERY_INFO`` for observability.
     """
+    check_index_format(index_dir)
     terminfo = _query_terms(spark, index_dir, query_text)
     if not terminfo:
         res = _empty_result(spark)
@@ -289,6 +323,7 @@ def topk_batch(
     cost for a whole golden set; at 10^5 golden questions this is the only
     workable shape.
     """
+    check_index_format(index_dir)
     # ONE lexicon probe for the union of every query's terms
     terms_by_q = {
         qid: list(dict.fromkeys(tokenize(qtext))) for qid, qtext in queries.items()

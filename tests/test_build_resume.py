@@ -289,3 +289,36 @@ def test_update_segment_chunk_accounting(spark, tmp_path_factory):
     res2 = update_index(spark, delta, d, num_partitions=P, strategy="segment")
     assert res2.chunks_processed == 1
     assert res2.chunks_skipped == done_total  # all prior chunks skipped
+
+
+def test_query_rejects_uncommitted_and_foreign_format(spark, single_shot, tmp_path_factory):
+    """check_index_format: querying an uncommitted or format-mismatched index
+    fails loudly with an actionable message instead of decoding garbage."""
+    import json
+    import shutil
+
+    from statschat_ke_spark.index.query import topk_batch
+
+    d, _ = single_shot
+    d2 = str(tmp_path_factory.mktemp("fmt") / "idx")
+    shutil.copytree(d, d2)
+
+    marker = os.path.join(d2, "_SUCCESS.json")
+    with open(marker) as f:
+        m = json.load(f)
+
+    # absent marker = never committed
+    os.remove(marker)
+    with pytest.raises(RuntimeError, match="no _SUCCESS.json"):
+        topk(spark, d2, "anything", 5)
+    with pytest.raises(RuntimeError, match="no _SUCCESS.json"):
+        topk_batch(spark, d2, {0: "anything"}, 5)
+
+    # foreign format version
+    with open(marker, "w") as f:
+        json.dump({**m, "format": 1}, f)
+    with pytest.raises(RuntimeError, match="format 1"):
+        topk(spark, d2, "anything", 5)
+
+    # the committed index still queries fine
+    topk(spark, d, "anything", 5)
