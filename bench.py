@@ -50,8 +50,10 @@ def main() -> None:
     # Best-of-N protocol: the sandbox hypervisor pauses the VM at random
     # (BASELINE.md — identical runs vary 5x), so a single run is noise.
     # Each measured step runs REPS times; per-step best is reported, plus
-    # process-tree CPU concurrency as the pause-immune signal.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # process-tree CPU concurrency as the pause-immune signal. Three reps
+    # (not two): a multi-second pause window can straddle two consecutive
+    # reps of the same step; a third ~11 s pass is cheap insurance.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     extra: dict = {}
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
