@@ -752,8 +752,7 @@ def _finalize_stats(index_dir: str, wall_s: float) -> None:
     stats["postings_per_sec"] = (
         stats["n_postings"] / wall_s if wall_s > 0 else 0.0
     )
-    with open(p, "w") as f:
-        json.dump(stats, f, indent=2)
+    _atomic_json(p, stats, indent=2)
 
 
 def _check_term_collisions(term_dict: DataFrame) -> None:
@@ -952,25 +951,34 @@ def _write_stats_and_success(
 ) -> None:
     """``covered_chunks`` records which staged chunks the current segments
     contain — a compaction folds MANY chunks into seg=0, so `staged minus
-    segments` alone would wrongly re-append compacted chunks."""
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump(stats, f, indent=2)
-    with open(os.path.join(index_dir, "_SUCCESS.json"), "w") as f:
-        json.dump(
-            {
-                "complete": True,
-                "chunks": n_chunks,
-                "segments": segments,
-                "covered_chunks": sorted(covered_chunks),
-                "format": INDEX_FORMAT,
-                # Unique per commit: the query probe cache keys on this, not
-                # on mtime — back-to-back segment appends (ingest_stream) can
-                # land within one mtime granule on coarse-timestamp
-                # filesystems and would otherwise leave stale df cached.
-                "version": uuid.uuid4().hex,
-            },
-            f,
-        )
+    segments` alone would wrongly re-append compacted chunks.
+
+    Both files are written via tmp + atomic rename: a query racing the
+    commit (ingest_stream + serving in one driver) must see either the old
+    or the new JSON, never a torn write."""
+    _atomic_json(os.path.join(index_dir, "stats.json"), stats, indent=2)
+    _atomic_json(
+        os.path.join(index_dir, "_SUCCESS.json"),
+        {
+            "complete": True,
+            "chunks": n_chunks,
+            "segments": segments,
+            "covered_chunks": sorted(covered_chunks),
+            "format": INDEX_FORMAT,
+            # Unique per commit: the query probe cache keys on this, not
+            # on mtime — back-to-back segment appends (ingest_stream) can
+            # land within one mtime granule on coarse-timestamp
+            # filesystems and would otherwise leave stale df cached.
+            "version": uuid.uuid4().hex,
+        },
+    )
+
+
+def _atomic_json(path: str, obj, *, indent=None) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=indent)
+    os.replace(tmp, path)
 
 
 def covered_chunks(index_dir: str) -> set[int]:

@@ -116,20 +116,55 @@ def check_index_format(index_dir: str) -> None:
 _PROBE_CACHE: dict[tuple[str, str], dict[int, int]] = {}
 
 
-def _index_version(index_dir: str) -> str:
-    p = os.path.join(index_dir, "_SUCCESS.json")
+def _read_marker(index_dir: str) -> dict:
+    """The _SUCCESS.json snapshot commit record ({} when absent/unreadable).
+    One read serves both the version (probe-cache key) and the committed
+    segment list (reader-side snapshot pruning) so the two can't disagree
+    across a concurrent commit."""
     try:
-        with open(p) as f:
-            marker = json.load(f)
-        # per-commit uuid (format ≥ r3); fall back to mtime for older markers
-        return str(marker.get("version") or os.path.getmtime(p))
+        with open(os.path.join(index_dir, "_SUCCESS.json")) as f:
+            return json.load(f)
     except (OSError, ValueError):
+        return {}
+
+
+def _index_version(index_dir: str, marker: dict | None = None) -> str:
+    if marker is None:
+        marker = _read_marker(index_dir)
+    if not marker:
+        return "<absent>"
+    try:
+        # per-commit uuid (format ≥ r3); fall back to mtime for older markers
+        return str(
+            marker.get("version")
+            or os.path.getmtime(os.path.join(index_dir, "_SUCCESS.json"))
+        )
+    except OSError:
         return "<absent>"
 
 
+def _prune_to_snapshot(df: DataFrame, marker: dict) -> DataFrame:
+    """Restrict a segmented table scan (postings/lexicon/docs, partitioned by
+    ``seg``) to the segments the commit marker lists.
+
+    The table dirs are enumerated by file listing, so WITHOUT this filter a
+    reader racing a concurrent ``append_segment`` would pick up a fully
+    written ``seg=N`` whose commit (stats.json + _SUCCESS) hasn't landed —
+    scoring uncommitted docs under the old global stats. ``seg`` is a
+    partition column, so the isin() prunes at planning time (no extra job,
+    no data read from uncommitted dirs) — the Iceberg snapshot-read analog."""
+    segs = marker.get("segments")
+    if segs is None:
+        return df  # pre-segments marker: directory contents ARE the snapshot
+    return df.filter(F.col("seg").isin([int(s) for s in segs]))
+
+
 def _probe_dfs(spark: SparkSession, index_dir: str, ids: list[int]) -> dict[int, int]:
-    """df per term_id (summed over lexicon segments), probe-cached."""
-    key = (index_dir, _index_version(index_dir))
+    """df per term_id (summed over the COMMITTED lexicon segments),
+    probe-cached. The snapshot prune and the cache key come from one marker
+    read, so cached df always describes the keyed version."""
+    marker = _read_marker(index_dir)
+    key = (index_dir, _index_version(index_dir, marker))
     if key not in _PROBE_CACHE:
         # Evict superseded versions of THIS index_dir (a long-lived driver
         # running ingest_stream gets a fresh commit uuid per append, so
@@ -150,7 +185,9 @@ def _probe_dfs(spark: SparkSession, index_dir: str, ids: list[int]) -> dict[int,
         probed = {
             int(r.term_id): int(r.df)
             for r in (
-                spark.read.parquet(os.path.join(index_dir, "lexicon"))
+                _prune_to_snapshot(
+                    spark.read.parquet(os.path.join(index_dir, "lexicon")), marker
+                )
                 .filter(F.col("term_id").isin(missing))
                 .groupBy("term_id")
                 .agg(F.sum("df").alias("df"))
@@ -230,6 +267,7 @@ def topk(
     ``LAST_QUERY_INFO`` for observability.
     """
     check_index_format(index_dir)
+    marker = _read_marker(index_dir)
     terminfo = _query_terms(spark, index_dir, query_text)
     if not terminfo:
         res = _empty_result(spark)
@@ -245,7 +283,9 @@ def topk(
         stats = load_stats(index_dir)
         avgdl = float(stats["avgdl"])
         pst = (
-            spark.read.parquet(os.path.join(index_dir, "postings"))
+            _prune_to_snapshot(
+                spark.read.parquet(os.path.join(index_dir, "postings")), marker
+            )
             .filter(F.col("term_id").isin(ids))
             .select("seg", "term_id", "slice", "block_id", "n", "doc_ids", "tfs",
                     "dls", "block_max_tf", "block_min_dl", "first_doc", "last_doc")
@@ -293,7 +333,9 @@ def topk(
         .limit(k)
     )
     if with_url:
-        docs = spark.read.parquet(os.path.join(index_dir, "docs")).select("doc_id", "url")
+        docs = _prune_to_snapshot(
+            spark.read.parquet(os.path.join(index_dir, "docs")), marker
+        ).select("doc_id", "url")
         # ≤k result rows: broadcast them as the build side of an inner join
         # against the big docs table (every result id exists in docs)
         ranked = (
@@ -324,6 +366,7 @@ def topk_batch(
     workable shape.
     """
     check_index_format(index_dir)
+    marker = _read_marker(index_dir)
     # ONE lexicon probe for the union of every query's terms
     terms_by_q = {
         qid: list(dict.fromkeys(tokenize(qtext))) for qid, qtext in queries.items()
@@ -351,7 +394,9 @@ def topk_batch(
         )
     idf_by_q = {q: {t: v["idf"] for t, v in ti.items()} for q, ti in per_q.items()}
     pst = (
-        spark.read.parquet(os.path.join(index_dir, "postings"))
+        _prune_to_snapshot(
+            spark.read.parquet(os.path.join(index_dir, "postings")), marker
+        )
         .filter(F.col("term_id").isin(all_ids))
         .select("seg", "term_id", "slice", "block_id", "n", "doc_ids", "tfs",
                 "dls", "block_max_tf", "block_min_dl", "first_doc", "last_doc")

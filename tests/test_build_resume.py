@@ -322,3 +322,30 @@ def test_query_rejects_uncommitted_and_foreign_format(spark, single_shot, tmp_pa
 
     # the committed index still queries fine
     topk(spark, d, "anything", 5)
+
+
+def test_reader_ignores_uncommitted_segment(spark, single_shot, tmp_path_factory):
+    """Snapshot isolation for readers: a fully-written seg=N whose commit
+    (_SUCCESS segments list) hasn't landed — the mid-append window a query
+    racing ingest_stream sees — must be invisible to topk/probe. Without the
+    marker-pruned scans, the directory listing would pick it up and score
+    every doc twice under doubled df."""
+    import shutil
+
+    from statschat_ke_spark.index.query import _PROBE_CACHE, topk
+
+    d, _ = single_shot
+    d2 = str(tmp_path_factory.mktemp("snap") / "idx")
+    shutil.copytree(d, d2)
+
+    q = "report statistics county"
+    before = topk(spark, d2, q, 10).toPandas()
+    assert len(before) > 0
+
+    # simulate the mid-append window: duplicate seg=0 as an uncommitted seg=99
+    for sub in ("postings", "lexicon", "docs"):
+        shutil.copytree(os.path.join(d2, sub, "seg=0"), os.path.join(d2, sub, "seg=99"))
+    _PROBE_CACHE.clear()  # same commit uuid — force a re-probe of the lexicon
+
+    after = topk(spark, d2, q, 10).toPandas()
+    assert after.equals(before), "uncommitted segment leaked into query results"
