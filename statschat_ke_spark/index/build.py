@@ -629,7 +629,16 @@ def maybe_compact(
     when no compaction was needed. Safe mid-lifecycle: merge_index
     invalidates _SUCCESS before touching tables and rebuilds from the staged
     chunks, so a crash here degrades to a resumable rebuild, never a
-    corrupt-but-complete index."""
+    corrupt-but-complete index.
+
+    Reader concurrency: segment APPENDS are reader-safe (queries prune to
+    the committed segment list and never see the in-flight segment), but
+    compaction REWRITES table dirs in place — a query started mid-compaction
+    fails fast on the invalidated marker (check_index_format) rather than
+    reading half-cleared tables. True read-while-compact needs old-file
+    retention (what Iceberg snapshots provide; documented divergence in
+    COVERAGE.md) — in this layout, schedule compaction off the serving
+    path."""
     if max_segments is None:
         return None
     if len(_existing_segments(index_dir)) <= max_segments:
