@@ -391,6 +391,91 @@ def _append_lineage_row(
     os.replace(tmp, os.path.join(lineage_dir, f"commit-{uuid.uuid4().hex}.parquet"))
 
 
+class WriterConflict(RuntimeError):
+    """A second phase-B writer targeted the same index concurrently."""
+
+
+class _writer_lock:
+    """Advisory single-writer lock for phase-B commits (merge / append /
+    compact). Two concurrent writers would interleave table rewrites and
+    stats commits silently; Iceberg rejects the second committer via
+    optimistic concurrency — this is the explicit-lock analog for the
+    filesystem layout. O_EXCL-create of ``_WRITER_LOCK`` holding the owner
+    pid; a lock whose pid is dead (crashed writer) is broken and retaken.
+    Reentrant per (process, index_dir) so update_index → append_segment →
+    maybe_compact nest under one hold."""
+
+    _held: set = set()  # index_dirs locked by THIS process
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.path = os.path.join(index_dir, "_WRITER_LOCK")
+        self.owner = False
+
+    def __enter__(self):
+        if self.index_dir in _writer_lock._held:
+            return self  # reentrant: outermost holder owns the file
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(self.path) as f:
+                    pid = int(f.read().strip() or "0")
+            except (OSError, ValueError):
+                pid = 0
+            if pid and _pid_alive(pid):
+                raise WriterConflict(
+                    f"index at {self.index_dir!r} has a live writer "
+                    f"(pid {pid}, {self.path}); concurrent phase-B commits "
+                    "would interleave — wait for it or remove the lock if "
+                    "it is stale"
+                ) from None
+            # dead owner: break the stale lock and retake it
+            try:
+                os.remove(self.path)
+            except OSError:
+                pass
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        self.owner = True
+        _writer_lock._held.add(self.index_dir)
+        return self
+
+    def __exit__(self, *exc):
+        if self.owner:
+            _writer_lock._held.discard(self.index_dir)
+            try:
+                os.remove(self.path)
+            except OSError:
+                pass
+        return False
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _single_writer(fn):
+    """Decorator: run the phase-B unit under the index's writer lock.
+    Expects ``(spark, index_dir, ...)`` signatures."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, index_dir, *a, **kw):
+        os.makedirs(index_dir, exist_ok=True)
+        with _writer_lock(index_dir):
+            return fn(spark, index_dir, *a, **kw)
+
+    return wrapper
+
+
 def staged_chunks(spark: SparkSession, index_dir: str) -> set[int]:
     """Chunks whose lineage row committed (completed phase-A units).
 
@@ -648,6 +733,7 @@ def maybe_compact(
     return out
 
 
+@_single_writer
 def append_segment(
     spark: SparkSession,
     index_dir: str,
@@ -1002,6 +1088,7 @@ def covered_chunks(index_dir: str) -> set[int]:
         return set()
 
 
+@_single_writer
 def merge_index(
     spark: SparkSession,
     index_dir: str,

@@ -349,3 +349,26 @@ def test_reader_ignores_uncommitted_segment(spark, single_shot, tmp_path_factory
 
     after = topk(spark, d2, q, 10).toPandas()
     assert after.equals(before), "uncommitted segment leaked into query results"
+
+
+def test_writer_lock_conflict_and_stale_recovery(spark, docs500, tmp_path_factory):
+    """Phase-B commits are single-writer: a live foreign lock raises
+    WriterConflict; a dead owner's lock is broken and the build proceeds."""
+    from statschat_ke_spark.index.build import WriterConflict
+
+    d = str(tmp_path_factory.mktemp("lock") / "idx")
+    os.makedirs(d, exist_ok=True)
+
+    # live foreign writer (pid 1 is always alive and never ours)
+    with open(os.path.join(d, "_WRITER_LOCK"), "w") as f:
+        f.write("1")
+    with pytest.raises(WriterConflict, match="live writer"):
+        build_index(spark, docs500, d, num_partitions=P)
+
+    # dead owner: stale lock is broken, build succeeds, lock released
+    with open(os.path.join(d, "_WRITER_LOCK"), "w") as f:
+        f.write("999999999")
+    res = build_index(spark, docs500, d, num_partitions=P)
+    assert res.n_docs > 0
+    assert not os.path.exists(os.path.join(d, "_WRITER_LOCK"))
+    topk(spark, d, "report", 5)
