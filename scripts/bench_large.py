@@ -93,11 +93,12 @@ def _decoded_fraction(spark, idx: str, q: str, k: int = 10):
 
     from statschat_ke_spark.index import query as Q
 
-    terminfo = Q._query_terms(spark, idx, q)
+    marker = Q._read_marker(idx)
+    stats = Q._snapshot_stats(idx, marker)
+    terminfo = Q._query_terms(spark, idx, q, marker, int(stats["n_docs"]))
     if not terminfo:
         return None
     ids = list(terminfo)
-    stats = Q.load_stats(idx)
     avgdl = float(stats["avgdl"])
     pst = (
         spark.read.parquet(os.path.join(idx, "postings"))

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
@@ -400,51 +401,93 @@ class _writer_lock:
     compact). Two concurrent writers would interleave table rewrites and
     stats commits silently; Iceberg rejects the second committer via
     optimistic concurrency — this is the explicit-lock analog for the
-    filesystem layout. O_EXCL-create of ``_WRITER_LOCK`` holding the owner
-    pid; a lock whose pid is dead (crashed writer) is broken and retaken.
-    Reentrant per (process, index_dir) so update_index → append_segment →
-    maybe_compact nest under one hold."""
+    filesystem layout.
 
-    _held: set = set()  # index_dirs locked by THIS process
+    Acquisition is ``os.link`` of a fully-written temp file onto
+    ``_WRITER_LOCK`` — atomic create-WITH-content, so a contender can never
+    observe an empty lock file (an O_EXCL-create-then-write would have a
+    window where a racing reader parses pid 0, "breaks" a live writer's
+    lock, and two phase-B writers proceed). A lock whose pid is dead
+    (crashed writer) is broken and retaken; losing the retake race to
+    another breaker raises WriterConflict rather than corrupting.
+    Reentrant per (thread, index_dir) so update_index → append_segment →
+    maybe_compact nest under one hold; a SECOND THREAD of the same process
+    is a conflict, not a reentry (the pid file can't arbitrate in-process
+    writers — the threaded WSGI server + background-ingest topology needs
+    the map-based check)."""
+
+    _guard = threading.Lock()
+    _held: dict = {}  # index_dir -> owning thread ident, THIS process
 
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
         self.path = os.path.join(index_dir, "_WRITER_LOCK")
         self.owner = False
 
-    def __enter__(self):
-        if self.index_dir in _writer_lock._held:
-            return self  # reentrant: outermost holder owns the file
+    def _try_link(self) -> bool:
+        """Atomically publish a pid-bearing lock file; False if held."""
+        tmp = f"{self.path}.tmp-{os.getpid()}-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(os.getpid()))
         try:
-            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, self.path)
+            return True
         except FileExistsError:
-            try:
-                with open(self.path) as f:
-                    pid = int(f.read().strip() or "0")
-            except (OSError, ValueError):
-                pid = 0
-            if pid and _pid_alive(pid):
+            return False
+        finally:
+            os.remove(tmp)
+
+    def __enter__(self):
+        me = threading.get_ident()
+        with _writer_lock._guard:
+            holder = _writer_lock._held.get(self.index_dir)
+            if holder == me:
+                return self  # reentrant: outermost holder owns the file
+            if holder is not None:
                 raise WriterConflict(
-                    f"index at {self.index_dir!r} has a live writer "
-                    f"(pid {pid}, {self.path}); concurrent phase-B commits "
-                    "would interleave — wait for it or remove the lock if "
-                    "it is stale"
-                ) from None
-            # dead owner: break the stale lock and retake it
-            try:
-                os.remove(self.path)
-            except OSError:
-                pass
-            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
+                    f"index at {self.index_dir!r} has a live writer in this "
+                    f"process (thread {holder}); concurrent phase-B commits "
+                    "would interleave — serialize writers onto one thread"
+                )
+            # reserve in-process BEFORE touching the filesystem so a second
+            # thread can't race between our link and the _held insert
+            _writer_lock._held[self.index_dir] = me
+        try:
+            if not self._try_link():
+                try:
+                    with open(self.path) as f:
+                        pid = int(f.read().strip() or "0")
+                except (OSError, ValueError):
+                    pid = 0
+                if pid and _pid_alive(pid):
+                    raise WriterConflict(
+                        f"index at {self.index_dir!r} has a live writer "
+                        f"(pid {pid}, {self.path}); concurrent phase-B "
+                        "commits would interleave — wait for it or remove "
+                        "the lock if it is stale"
+                    ) from None
+                # dead owner: break the stale lock and retake it; losing
+                # the retake race to another breaker is a conflict
+                try:
+                    os.remove(self.path)
+                except OSError:
+                    pass
+                if not self._try_link():
+                    raise WriterConflict(
+                        f"index at {self.index_dir!r}: lost the stale-lock "
+                        f"retake race to another writer ({self.path})"
+                    )
+        except BaseException:
+            with _writer_lock._guard:
+                _writer_lock._held.pop(self.index_dir, None)
+            raise
         self.owner = True
-        _writer_lock._held.add(self.index_dir)
         return self
 
     def __exit__(self, *exc):
         if self.owner:
-            _writer_lock._held.discard(self.index_dir)
+            with _writer_lock._guard:
+                _writer_lock._held.pop(self.index_dir, None)
             try:
                 os.remove(self.path)
             except OSError:
@@ -552,12 +595,13 @@ def build_index(
     if resume:
         done_chunks = staged_chunks(spark, index_dir)
 
-    if set(range(n_chunks)) - done_chunks:
-        # chunks will be (re)staged: a pre-existing _SUCCESS.json from an
-        # earlier completed build must not present the dir as complete while
-        # its staged inputs are partially rewritten (crash / stop_after_chunks
-        # window); it is rewritten only after merge_index commits
-        _invalidate_success(index_dir)
+    # A pre-existing _SUCCESS.json from an earlier completed build stays in
+    # place while chunks are (re)staged: it describes the COMMITTED tables,
+    # which staging never touches, so concurrent queries keep serving the old
+    # snapshot for the whole phase-A window (the Iceberg reader story).
+    # merge_index invalidates it immediately before rewriting the tables and
+    # recommits after — the only genuinely reader-unsafe window. Resume
+    # correctness never consults the marker (staged_chunks reads lineage).
 
     processed = 0
     for chunk in range(n_chunks):
@@ -639,7 +683,12 @@ def update_index(
     t0 = time.time()
     P = num_partitions or spark.sparkContext.defaultParallelism
     base = _prepare_base(new_docs, lang)
-    _invalidate_success(index_dir)  # stale until the merge recommits
+    # NOTE: the committed _SUCCESS.json stays valid throughout staging and
+    # segment append — readers prune scans to the marker's segment list, so
+    # the in-flight chunk/segment is invisible and queries keep serving the
+    # old snapshot (same reader story as ingest_stream). Only table-rewriting
+    # paths (merge_index, reached via strategy='compact' or maybe_compact)
+    # invalidate the marker, immediately before clearing the table dirs.
     existing_path = os.path.join(index_dir, "staged")
     if os.path.exists(existing_path):
         existing = spark.read.parquet(existing_path).select("url")
@@ -1059,6 +1108,16 @@ def _write_stats_and_success(
             "segments": segments,
             "covered_chunks": sorted(covered_chunks),
             "format": INDEX_FORMAT,
+            # Scoring globals embedded IN the snapshot marker: a query that
+            # reads the marker once gets (segment list, n_docs, avgdl) from
+            # the same commit, so a concurrent append can never pair one
+            # snapshot's postings with another's idf/avgdl (stats.json and
+            # _SUCCESS.json are two separate renames — readers that consult
+            # both can interleave a commit between them).
+            "stats": {
+                "n_docs": int(stats["n_docs"]),
+                "avgdl": float(stats["avgdl"]),
+            },
             # Unique per commit: the query probe cache keys on this, not
             # on mtime — back-to-back segment appends (ingest_stream) can
             # land within one mtime granule on coarse-timestamp
@@ -1077,7 +1136,8 @@ def _atomic_json(path: str, obj, *, indent=None) -> None:
 
 def covered_chunks(index_dir: str) -> set[int]:
     """Staged chunks already folded into index segments. Read from
-    stats.json (which survives the pre-staging _SUCCESS invalidation)."""
+    stats.json (read by writers; independent of the _SUCCESS marker,
+    which only describes the committed reader snapshot)."""
     p = os.path.join(index_dir, "stats.json")
     if not os.path.exists(p):
         return set()
@@ -1131,8 +1191,9 @@ def merge_index(
 
     # compaction owns the whole table dirs: invalidate the completion marker
     # BEFORE gutting them — a crash mid-compaction must not leave a
-    # complete=True _SUCCESS over cleared/partial tables (a rerun over a
-    # fully-staged dir skips the restage-path invalidation at line ~401).
+    # complete=True _SUCCESS over cleared/partial tables. This is the ONLY
+    # invalidation in the lifecycle: staging and segment append leave the
+    # marker (and with it the old reader snapshot) intact.
     _invalidate_success(index_dir)
     for sub in ("postings", "docs", "lexicon", "_metrics"):
         _clear_dir(os.path.join(index_dir, sub))

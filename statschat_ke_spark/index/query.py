@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import threading
 from typing import Iterator
 
 import numpy as np
@@ -72,30 +73,38 @@ def load_stats(index_dir: str) -> dict:
         return json.load(f)
 
 
-def check_index_format(index_dir: str) -> None:
+def check_index_format(index_dir: str, marker: dict | None = None) -> dict:
     """Fail fast, with a clear message, before querying an index that is not
-    a committed snapshot of the format this engine reads.
+    a committed snapshot of the format this engine reads. Returns the parsed
+    commit marker so callers get their whole snapshot (format, segment list,
+    scoring globals) from ONE read.
 
-    Two distinct failure shapes, both otherwise confusing at query time:
+    Three distinct failure shapes, all otherwise confusing at query time:
     an ABSENT ``_SUCCESS.json`` means the last build/append never committed
     (crash mid-build, or an ``ingest_stream(merge=False)`` drain awaiting its
-    merge) — tables may be partially written; a format-version MISMATCH
-    means the posting/block layout on disk is not what this decoder assumes
-    (e.g. a v1 index's baked tf-normalized block bounds would make v2's
-    avgdl-free WAND pruning silently unsafe rather than loudly wrong)."""
+    merge) — tables may be partially written; a TORN/CORRUPT marker (invalid
+    JSON — e.g. written by a pre-atomic-rename engine on a crash) is reported
+    the same way rather than escaping as a raw JSONDecodeError; a
+    format-version MISMATCH means the posting/block layout on disk is not
+    what this decoder assumes (e.g. a v1 index's baked tf-normalized block
+    bounds would make v2's avgdl-free WAND pruning silently unsafe rather
+    than loudly wrong)."""
     from statschat_ke_spark.index.build import INDEX_FORMAT
 
-    p = os.path.join(index_dir, "_SUCCESS.json")
-    try:
-        with open(p) as f:
-            marker = json.load(f)
-    except OSError:
+    if marker is None:
+        p = os.path.join(index_dir, "_SUCCESS.json")
+        try:
+            with open(p) as f:
+                marker = json.load(f)
+        except (OSError, ValueError):
+            marker = {}
+    if not marker:
         raise RuntimeError(
-            f"index at {index_dir!r} has no _SUCCESS.json commit marker — "
-            "the build was interrupted before commit or a streaming drain "
-            "ran with merge=False; finish the build (merge_index / "
-            "append_segment) before querying"
-        ) from None
+            f"index at {index_dir!r} has no _SUCCESS.json commit marker "
+            "(absent or torn) — the build was interrupted before commit or "
+            "a streaming drain ran with merge=False; finish the build "
+            "(merge_index / append_segment) before querying"
+        )
     fmt = marker.get("format")
     if fmt != INDEX_FORMAT:
         raise RuntimeError(
@@ -103,6 +112,7 @@ def check_index_format(index_dir: str) -> None:
             f"format {INDEX_FORMAT} — rebuild the index (build_index) or "
             "query with the matching engine version"
         )
+    return marker
 
 
 # Driver-side probe cache — the engine analog of the reference's
@@ -159,11 +169,17 @@ def _prune_to_snapshot(df: DataFrame, marker: dict) -> DataFrame:
     return df.filter(F.col("seg").isin([int(s) for s in segs]))
 
 
-def _probe_dfs(spark: SparkSession, index_dir: str, ids: list[int]) -> dict[int, int]:
+def _probe_dfs(
+    spark: SparkSession, index_dir: str, ids: list[int], marker: dict | None = None
+) -> dict[int, int]:
     """df per term_id (summed over the COMMITTED lexicon segments),
     probe-cached. The snapshot prune and the cache key come from one marker
-    read, so cached df always describes the keyed version."""
-    marker = _read_marker(index_dir)
+    read — the CALLER's when provided (topk/topk_batch pass the marker their
+    whole query runs against, so probed df can never describe a different
+    commit than the postings scan) — so cached df always describes the keyed
+    version."""
+    if marker is None:
+        marker = _read_marker(index_dir)
     key = (index_dir, _index_version(index_dir, marker))
     if key not in _PROBE_CACHE:
         # Evict superseded versions of THIS index_dir (a long-lived driver
@@ -199,22 +215,42 @@ def _probe_dfs(spark: SparkSession, index_dir: str, ids: list[int]) -> dict[int,
     return {i: cache[i] for i in ids}
 
 
-def _query_terms(spark: SparkSession, index_dir: str, query_text: str) -> dict[int, dict]:
+def _snapshot_stats(index_dir: str, marker: dict) -> dict:
+    """Scoring globals (n_docs, avgdl) for the snapshot ``marker`` commits.
+
+    Read from the marker itself when present (format ≥ r4 embeds them at
+    commit, so one marker read yields a CONSISTENT (segments, n_docs, avgdl)
+    triple); fall back to stats.json for older markers — there the two files
+    are separate renames and a racing commit can tear them, which is exactly
+    why the embed exists."""
+    s = marker.get("stats")
+    if s and "n_docs" in s and "avgdl" in s:
+        return s
+    return load_stats(index_dir)
+
+
+def _query_terms(
+    spark: SparkSession,
+    index_dir: str,
+    query_text: str,
+    marker: dict,
+    n_docs: int,
+) -> dict[int, dict]:
     """Driver-side lexicon probe: term_id → {idf, df}.
 
     The lexicon is segmented (one subdir per incremental segment); global df
     is the SUM over segments, aggregated on the term_id-pruned probe
-    (≤ |q| × n_segments rows — trivial) and probe-cached across queries."""
+    (≤ |q| × n_segments rows — trivial) and probe-cached across queries.
+    ``marker``/``n_docs`` come from the caller's single snapshot read so idf
+    is computed against the same commit the postings scan is pruned to."""
     terms = list(dict.fromkeys(tokenize(query_text)))
     if not terms:
         return {}
     ids = [xxhash64_str(t) for t in terms]
-    stats = load_stats(index_dir)
-    n = stats["n_docs"]
     out = {}
-    for tid, df in _probe_dfs(spark, index_dir, ids).items():
+    for tid, df in _probe_dfs(spark, index_dir, ids, marker).items():
         if df > 0:
-            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
             out[tid] = {"idf": idf, "df": df}
     return out
 
@@ -226,7 +262,30 @@ def _empty_result(spark: SparkSession) -> DataFrame:
 # Observability for the auto-mode decision (the result schema is contract-
 # fixed, so the chosen mode can't ride in the DataFrame): updated on every
 # topk() call with the resolved mode, the query's Σdf and the threshold used.
-LAST_QUERY_INFO: dict = {}
+# THREAD-LOCAL under the hood: the threaded WSGI server runs queries
+# concurrently, and a plain module dict would report another request's
+# mode/Σdf to whichever thread read it next.
+class _QueryInfo(threading.local):
+    def __init__(self):
+        self.data: dict = {}
+
+    def update(self, **kw) -> None:
+        self.data.update(kw)
+
+    def __getitem__(self, k):
+        return self.data[k]
+
+    def get(self, k, default=None):
+        return self.data.get(k, default)
+
+    def __contains__(self, k) -> bool:
+        return k in self.data
+
+    def __repr__(self) -> str:
+        return repr(self.data)
+
+
+LAST_QUERY_INFO = _QueryInfo()
 
 
 def auto_mode_threshold(n_docs: int) -> int:
@@ -266,9 +325,14 @@ def topk(
     rank-identical (property-tested). The resolved mode is recorded in
     ``LAST_QUERY_INFO`` for observability.
     """
-    check_index_format(index_dir)
-    marker = _read_marker(index_dir)
-    terminfo = _query_terms(spark, index_dir, query_text)
+    # ONE snapshot read serves the whole query: format check, segment
+    # pruning, n_docs (idf + auto threshold) and avgdl all come from the
+    # same commit marker, so an append landing mid-query can't mix one
+    # snapshot's postings with another's scoring globals.
+    marker = check_index_format(index_dir)
+    stats = _snapshot_stats(index_dir, marker)
+    n_docs = int(stats["n_docs"])
+    terminfo = _query_terms(spark, index_dir, query_text, marker, n_docs)
     if not terminfo:
         res = _empty_result(spark)
         LAST_QUERY_INFO.update(mode="empty", total_df=0, threshold=None)
@@ -276,11 +340,10 @@ def topk(
         total_df = sum(v["df"] for v in terminfo.values())
         if mode == "auto":
             if auto_threshold is None:
-                auto_threshold = auto_mode_threshold(int(load_stats(index_dir)["n_docs"]))
+                auto_threshold = auto_mode_threshold(n_docs)
             mode = "exhaustive" if total_df < auto_threshold else "wand"
         LAST_QUERY_INFO.update(mode=mode, total_df=total_df, threshold=auto_threshold)
         ids = list(terminfo.keys())
-        stats = load_stats(index_dir)
         avgdl = float(stats["avgdl"])
         pst = (
             _prune_to_snapshot(
@@ -365,8 +428,9 @@ def topk_batch(
     cost for a whole golden set; at 10^5 golden questions this is the only
     workable shape.
     """
-    check_index_format(index_dir)
-    marker = _read_marker(index_dir)
+    # ONE snapshot read for the whole batch (see topk): format check,
+    # segment pruning and scoring globals from the same commit marker.
+    marker = check_index_format(index_dir)
     # ONE lexicon probe for the union of every query's terms
     terms_by_q = {
         qid: list(dict.fromkeys(tokenize(qtext))) for qid, qtext in queries.items()
@@ -375,12 +439,12 @@ def topk_batch(
         qid: [xxhash64_str(t) for t in ts] for qid, ts in terms_by_q.items()
     }
     union_ids = sorted({t for ids in ids_by_q.values() for t in ids})
-    stats = load_stats(index_dir)
+    stats = _snapshot_stats(index_dir, marker)
     avgdl = float(stats["avgdl"])
-    n = stats["n_docs"]
+    n = int(stats["n_docs"])
     lex = {}
     if union_ids:
-        for tid, df in _probe_dfs(spark, index_dir, union_ids).items():
+        for tid, df in _probe_dfs(spark, index_dir, union_ids, marker).items():
             if df > 0:
                 idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
                 lex[tid] = {"idf": idf, "df": df}

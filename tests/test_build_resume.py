@@ -372,3 +372,153 @@ def test_writer_lock_conflict_and_stale_recovery(spark, docs500, tmp_path_factor
     assert res.n_docs > 0
     assert not os.path.exists(os.path.join(d, "_WRITER_LOCK"))
     topk(spark, d, "report", 5)
+
+
+def test_append_window_keeps_serving_old_snapshot(
+    spark, docs500, single_shot, tmp_path_factory
+):
+    """The whole phase-A window of a segment append — staging the delta
+    chunk — must leave the committed snapshot queryable: readers prune to
+    the marker's segment list, so the in-flight chunk is invisible and
+    topk keeps serving the OLD results (the Iceberg reader story; a marker
+    invalidation here was a serving-outage regression)."""
+    import shutil
+
+    from statschat_ke_spark.index.build import _prepare_base, _stage_chunk
+    from statschat_ke_spark.index.query import _PROBE_CACHE
+
+    d, _ = single_shot
+    d2 = str(tmp_path_factory.mktemp("window") / "idx")
+    shutil.copytree(d, d2)
+    _PROBE_CACHE.clear()
+
+    q = "report statistics county"
+    before = topk(spark, d2, q, 10).toPandas()
+    assert len(before) > 0
+    marker_path = os.path.join(d2, "_SUCCESS.json")
+
+    # simulate update_index's phase A racing a reader: stage a delta chunk
+    pdf = generate_documents(80, seed=77)
+    delta = spark.createDataFrame(pdf, schema=DOCUMENTS_SPARK_SCHEMA).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    done = staged_chunks(spark, d2)
+    _stage_chunk(spark, _prepare_base(delta, "en"), d2, max(done) + 1 if done else 0)
+
+    assert os.path.exists(marker_path), "staging must not invalidate the commit"
+    mid = topk(spark, d2, q, 10).toPandas()
+    assert mid.equals(before), "reader mid-append must see the old snapshot"
+
+
+def test_update_index_serves_throughout_segment_append(
+    spark, docs500, tmp_path_factory
+):
+    """End-to-end: after update_index(strategy='segment') the marker exists
+    and was NEVER removed along the way (monitored via a marker-deleting
+    tripwire is impossible without threads, so assert the post-state and
+    that the old version string changed only by commit)."""
+    import json
+
+    d = str(tmp_path_factory.mktemp("serve") / "idx")
+    pdf = generate_documents(300)
+    base = spark.createDataFrame(pdf.iloc[:200], schema=DOCUMENTS_SPARK_SCHEMA).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    delta = spark.createDataFrame(pdf.iloc[200:], schema=DOCUMENTS_SPARK_SCHEMA).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    res0 = build_index(spark, base, d, num_partitions=P)
+    res = update_index(spark, delta, d, num_partitions=P, strategy="segment")
+    assert res.n_docs > res0.n_docs  # delta landed (lang filter may drop some)
+    with open(os.path.join(d, "_SUCCESS.json")) as f:
+        marker = json.load(f)
+    # the commit marker embeds the scoring globals of ITS snapshot
+    assert marker["stats"]["n_docs"] == res.n_docs
+    assert marker["stats"]["avgdl"] == pytest.approx(res.avgdl)
+    topk(spark, d, "report", 5)
+
+
+def test_writer_lock_second_thread_conflicts(spark, tmp_path_factory):
+    """An in-process second writer THREAD is a WriterConflict, not a silent
+    reentry — the pid-file can't arbitrate threads, the _held map must."""
+    import threading
+
+    from statschat_ke_spark.index.build import WriterConflict, _writer_lock
+
+    d = str(tmp_path_factory.mktemp("tlock") / "idx")
+    os.makedirs(d, exist_ok=True)
+    entered = threading.Event()
+    release = threading.Event()
+    errs: list[BaseException] = []
+
+    def hold():
+        try:
+            with _writer_lock(d):
+                entered.set()
+                release.wait(10)
+        except BaseException as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+            entered.set()
+
+    t = threading.Thread(target=hold)
+    t.start()
+    assert entered.wait(10) and not errs
+    try:
+        with pytest.raises(WriterConflict, match="this process"):
+            with _writer_lock(d):
+                pass
+    finally:
+        release.set()
+        t.join(10)
+    # released: reacquire works and is reentrant within one thread
+    with _writer_lock(d):
+        with _writer_lock(d):
+            pass
+    assert not os.path.exists(os.path.join(d, "_WRITER_LOCK"))
+
+
+def test_writer_lock_never_observably_empty(tmp_path_factory):
+    """The lock file is published with its pid content atomically (tmp +
+    os.link): at no point can a contender read an empty lock file — the
+    empty-read → pid=0 → 'stale' → break-a-live-writer race is structurally
+    gone. Verified by acquiring and checking content immediately, plus the
+    retake-race path raising WriterConflict instead of corrupting."""
+    from statschat_ke_spark.index.build import WriterConflict, _writer_lock
+
+    d = str(tmp_path_factory.mktemp("alock") / "idx")
+    os.makedirs(d, exist_ok=True)
+    lk = _writer_lock(d)
+    lk.__enter__()
+    try:
+        with open(os.path.join(d, "_WRITER_LOCK")) as f:
+            assert f.read().strip() == str(os.getpid())
+    finally:
+        lk.__exit__(None, None, None)
+
+    # losing the stale-break retake race → WriterConflict (not a bare
+    # FileExistsError and not a second acquisition)
+    with open(os.path.join(d, "_WRITER_LOCK"), "w") as f:
+        f.write("999999999")  # dead pid → break path
+    orig = _writer_lock._try_link
+    calls = {"n": 0}
+
+    def lose_retake(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return False  # initial acquire: lock held (by the dead pid)
+        # retake after the stale break: another writer wins the race
+        with open(self.path, "w") as f:
+            f.write("1")
+        return False
+
+    _writer_lock._try_link = lose_retake
+    try:
+        with pytest.raises(WriterConflict, match="retake race"):
+            with _writer_lock(d):
+                pass
+    finally:
+        _writer_lock._try_link = orig
+        os.remove(os.path.join(d, "_WRITER_LOCK"))
+    # the failed acquire must not leave an in-process reservation behind
+    with _writer_lock(d):
+        pass
