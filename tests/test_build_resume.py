@@ -522,3 +522,55 @@ def test_writer_lock_never_observably_empty(tmp_path_factory):
     # the failed acquire must not leave an in-process reservation behind
     with _writer_lock(d):
         pass
+
+
+def test_concurrent_reader_during_segment_update(spark, tmp_path_factory):
+    """End-to-end snapshot isolation: queries hammered from one thread while
+    update_index(strategy='segment') runs in another must (a) never error
+    and (b) always return a result equal to either the pre-update or the
+    post-update snapshot — never a mix. This is the ingest+serve topology
+    the engine documents as supported."""
+    import threading
+
+    from statschat_ke_spark.index.query import _PROBE_CACHE
+
+    d = str(tmp_path_factory.mktemp("rw") / "idx")
+    pdf = generate_documents(400, seed=11)
+    base = spark.createDataFrame(pdf.iloc[:250], schema=DOCUMENTS_SPARK_SCHEMA).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    delta = spark.createDataFrame(pdf.iloc[250:], schema=DOCUMENTS_SPARK_SCHEMA).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    build_index(spark, base, d, num_partitions=P)
+    q = "county report statistics survey"
+
+    def snap(df):
+        return tuple(sorted((int(r.doc_id), round(float(r.score), 9)) for r in df.collect()))
+
+    before = snap(topk(spark, d, q, 10))
+    errors: list[BaseException] = []
+    observed: list[tuple] = []
+    done = threading.Event()
+
+    def reader():
+        try:
+            while not done.is_set():
+                _PROBE_CACHE.clear()  # defeat the probe cache: re-read every time
+                observed.append(snap(topk(spark, d, q, 10)))
+        except BaseException as e:
+            errors.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        update_index(spark, delta, d, num_partitions=P, strategy="segment")
+    finally:
+        done.set()
+        t.join(60)
+    after = snap(topk(spark, d, q, 10))
+    assert not errors, f"reader failed mid-update: {errors[0]!r}"
+    assert observed, "reader thread never completed a query"
+    bad = [o for o in observed if o not in (before, after)]
+    assert not bad, f"reader saw a torn snapshot: {bad[0]}"
+    assert after != before  # the delta actually changed the result set
