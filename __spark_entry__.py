@@ -253,6 +253,62 @@ def _ft_bm25_topk(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _ensure_index_with_deletes(spark: SparkSession, sf_dir: str) -> str:
+    """A second index over `documents` with every doc_id ≡ 2 (mod 5)
+    DELETED via the tombstone path (index.build.delete_docs) — exercising
+    delete-file masking, the negative-df lexicon delta, and the decremented
+    stats against a DuckDB oracle computed over the remaining corpus."""
+    import json
+
+    from statschat_ke_spark.index.build import (
+        INDEX_FORMAT,
+        build_index,
+        delete_docs,
+    )
+
+    key = os.path.abspath(sf_dir) + "#del"
+    if key not in _INDEX_CACHE:
+        import shutil
+
+        idx = os.path.join(
+            tempfile.gettempdir(),
+            "statschat_idxdel_" + os.path.abspath(sf_dir).strip("/").replace("/", "_"),
+        )
+        marker = os.path.join(idx, "_SUCCESS.json")
+        fresh = False
+        if os.path.exists(marker):
+            try:
+                with open(marker) as f:
+                    m = json.load(f)
+                fresh = m.get("format") == INDEX_FORMAT and m.get("tombstone_files")
+            except Exception:
+                fresh = False
+        if not fresh:
+            shutil.rmtree(idx, ignore_errors=True)
+            docs = _t(spark, sf_dir, "documents")
+            build_index(spark, docs, idx, lang="en")
+            # urls are str(doc_id) for this table (no url column)
+            victims = (
+                docs.filter((F.col("doc_id") % 5 == 2) & (F.col("lang") == "en"))
+                .select(F.col("doc_id").cast("string").alias("url"))
+            )
+            delete_docs(spark, idx, victims)
+        _INDEX_CACHE[key] = idx
+    return _INDEX_CACHE[key]
+
+
+def _ft_bm25_delete(spark, sf_dir):
+    """BM25 top-10 AFTER tombstone deletion of ~20% of the corpus: scores
+    must be exact over the REMAINING docs (idf from the negative lexicon
+    delta, avgdl from the decremented stats), matching DuckDB's BM25 over
+    `documents` minus the deleted ids."""
+    from statschat_ke_spark.index.query import topk
+
+    idx = _ensure_index_with_deletes(spark, sf_dir)
+    res = topk(spark, idx, FLAGSHIP_QUERY, k=10, mode="auto")
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 _BATCH_QUERIES = {
     1: "slow hash join table scan",
     2: "vector stream batch window",
@@ -601,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_term_stats": _ft_term_stats,
         "ft_doclen_stats": _ft_doclen_stats,
         "ft_bm25_topk": _ft_bm25_topk,
+        "ft_bm25_delete": _ft_bm25_delete,
         "ft_bm25_batch": _ft_bm25_batch,
         "dedup_exact_text": _dedup_exact_text,
         "sim_cosine_top10": _sim_cosine_top10,
@@ -640,6 +697,31 @@ q(t) AS (VALUES ('slow'),('hash'),('join'),('table'),('scan')),
 tf AS (
     SELECT toks.doc_id, toks.t, count(*)::DOUBLE AS tf
     FROM toks JOIN q ON toks.t = q.t GROUP BY toks.doc_id, toks.t
+),
+df AS (SELECT t, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY t),
+scored AS (
+    SELECT tf.doc_id,
+           sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0)
+                * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+    FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 6) AS score FROM scored
+ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
+# BM25 over the corpus MINUS the tombstoned docs (doc_id ≡ 2 mod 5): n,
+# avgdl, df and tf are all recomputed over the survivors — the exactness
+# contract delete_docs promises (negative lexicon delta + stats decrement).
+_BM25_DELETE_SQL = f"""
+WITH {_TOKS_CTE},
+live AS (SELECT doc_id, t FROM toks WHERE doc_id % 5 <> 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM live GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(t) AS (VALUES ('slow'),('hash'),('join'),('table'),('scan')),
+tf AS (
+    SELECT live.doc_id, live.t, count(*)::DOUBLE AS tf
+    FROM live JOIN q ON live.t = q.t GROUP BY live.doc_id, live.t
 ),
 df AS (SELECT t, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY t),
 scored AS (
@@ -1115,6 +1197,7 @@ def oracle_sql() -> dict[str, str]:
             FROM all_docs GROUP BY lang
         """,
         "ft_bm25_topk": _BM25_SQL,
+        "ft_bm25_delete": _BM25_DELETE_SQL,
         "ft_bm25_batch": _bm25_batch_sql(),
         "dedup_exact_text": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,

@@ -86,6 +86,10 @@ PACK_ARROW_BATCH = 131072
 # (/root/reference/statschat/preprocess.py:250-288) — this policy is that
 # behavior with the rebuild amortized 8× and bounded probe fan-out.
 DEFAULT_MAX_SEGMENTS = 8
+# Lexicon-delta segments written by delete_docs live in a reserved id range
+# so they can never collide with chunk-numbered data segments (batch chunks
+# start at 0, streaming chunks at STREAM_CHUNK_BASE=1_000_000).
+DELETE_SEG_BASE = 1_500_000_000
 
 TOKENIZED_SCHEMA = T.StructType(
     [
@@ -743,12 +747,21 @@ def update_index(
 
 
 def _existing_segments(index_dir: str) -> list[int]:
-    p = os.path.join(index_dir, "postings")
-    if not os.path.isdir(p):
-        return []
-    return sorted(
-        int(d.split("=", 1)[1]) for d in os.listdir(p) if d.startswith("seg=")
-    )
+    """All on-disk segment numbers: union of postings/ and lexicon/ seg dirs.
+    A delete commits a LEXICON-ONLY delta segment (negative df/cf rows, no
+    postings dir — see delete_docs), which must stay in the marker's segment
+    list across later appends or the df probe would stop seeing the
+    subtraction and idf would silently revert."""
+    segs: set[int] = set()
+    for table in ("postings", "lexicon"):
+        p = os.path.join(index_dir, table)
+        if os.path.isdir(p):
+            segs.update(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(p)
+                if d.startswith("seg=")
+            )
+    return sorted(segs)
 
 
 def maybe_compact(
@@ -780,6 +793,189 @@ def maybe_compact(
     out = merge_index(spark, index_dir, num_partitions=num_partitions)
     out.compacted = True
     return out
+
+
+@dataclass
+class DeleteResult:
+    index_dir: str
+    n_deleted: int  # docs actually tombstoned by THIS call
+    n_docs: int  # live docs after the delete
+    avgdl: float
+    wall_s: float
+    tombstone_file: str | None  # None when the call was a no-op
+
+
+def _tombstone_paths(index_dir: str, stats: dict) -> list[str]:
+    return [
+        os.path.join(index_dir, "tombstones", f)
+        for f in stats.get("tombstone_files", [])
+    ]
+
+
+def _tombstone_df(spark: SparkSession, index_dir: str, stats: dict):
+    """Tombstoned doc_ids as a (tiny) DataFrame, or None when there are none.
+    Read from the delete files directly so writer-side joins see exactly the
+    committed delete set."""
+    paths = _tombstone_paths(index_dir, stats)
+    if not paths:
+        return None
+    return spark.read.parquet(*paths).select("doc_id").distinct()
+
+
+@_single_writer
+def delete_docs(
+    spark: SparkSession,
+    index_dir: str,
+    urls,
+    *,
+    num_partitions: int | None = None,
+) -> DeleteResult:
+    """DELETE documents from a committed index by url — the Iceberg
+    delete-file analog (takedown/GDPR shape) with EXACT BM25 semantics over
+    the remaining corpus, at delta-proportional cost:
+
+    - a **tombstone file** (parquet of doc_ids, written driver-side like the
+      lineage commits) masks the docs out of query-time scoring — posting
+      bytes are never rewritten (Iceberg positional deletes);
+    - a **negative lexicon delta segment** (df/cf of the deleted docs' terms,
+      negated) keeps the query-time df probe — and with it idf — exact: the
+      probe SUMS df over the marker's segments, so subtraction is just one
+      more segment;
+    - **stats** (n_docs, avgdl) are decremented exactly from the deleted
+      docs' doclens, keeping the BM25 length normalization exact.
+
+    The result is bit-identical to an index built without the deleted docs
+    (rank AND score — property-tested), while the delete itself costs one
+    pushed-down scan of the staged table plus a |deleted|-sized aggregation.
+
+    Physical reclaim happens at the next compaction (merge_index excludes
+    tombstoned docs when it rebuilds, so posting bytes shrink), but the
+    tombstone files are retained forever: the staged chunks still hold the
+    deleted rows (they are the resume/lineage anchor and are immutable), so
+    the filter must survive every future rebuild. Deletion is therefore
+    TERMINAL for a url in this index — update_index's new-vs-existing
+    anti-join sees the old staged row and treats a re-send as already
+    ingested. Re-admitting a deleted url requires a fresh build. Tombstone
+    volume is ∝ lifetime deletes (8 bytes/doc), broadcast to executors once
+    per snapshot version at query time.
+
+    Idempotent: re-deleting already-tombstoned or unknown urls is a no-op
+    (no double-subtraction of df/avgdl).
+    """
+    t0 = time.time()
+    stats_path = os.path.join(index_dir, "stats.json")
+    if not os.path.exists(stats_path):
+        raise RuntimeError(
+            f"index at {index_dir!r} has no completed build (stats.json "
+            "missing) — delete_docs needs a committed index"
+        )
+    with open(stats_path) as f:
+        old = json.load(f)
+    try:
+        with open(os.path.join(index_dir, "_SUCCESS.json")) as f:
+            old_marker = json.load(f)
+    except (OSError, ValueError):
+        raise RuntimeError(
+            f"index at {index_dir!r} has no committed _SUCCESS.json — "
+            "delete_docs mutates only committed snapshots"
+        ) from None
+    if isinstance(urls, DataFrame):
+        url_df = urls.select("url").distinct()
+    else:
+        url_df = spark.createDataFrame(
+            [(str(u),) for u in urls], "url string"
+        ).distinct()
+
+    staged = spark.read.parquet(os.path.join(index_dir, "staged"))
+    victims = staged.join(F.broadcast(url_df), "url", "semi")
+    tomb = _tombstone_df(spark, index_dir, old)
+    if tomb is not None:
+        # idempotence: docs already tombstoned must not subtract twice
+        victims = victims.join(F.broadcast(tomb), "doc_id", "left_anti")
+    victims = victims.select("doc_id", "doclen", "terms", "tfs").persist()
+    try:
+        hit = victims.select("doc_id", "doclen").collect()  # ≤ |urls| rows
+        if not hit:
+            return DeleteResult(
+                index_dir=index_dir,
+                n_deleted=0,
+                n_docs=int(old["n_docs"]),
+                avgdl=float(old["avgdl"]),
+                wall_s=time.time() - t0,
+                tombstone_file=None,
+            )
+        n_del = len(hit)
+        dl_del = float(sum(int(r.doclen) for r in hit))
+        doc_ids = sorted(int(r.doc_id) for r in hit)
+
+        # negative lexicon delta: one segment whose (df, cf) rows subtract
+        # the deleted docs' contribution when the probe sums over segments.
+        # Reserved seg namespace: append_segment numbers real segments by
+        # CHUNK id (batch chunks from 0, stream chunks from 1_000_000), so a
+        # delta at max(existing)+1 could collide with — and be overwritten
+        # by — a later append's lexicon/seg=N write.
+        seg = max(
+            (s for s in _existing_segments(index_dir) if s >= DELETE_SEG_BASE),
+            default=DELETE_SEG_BASE - 1,
+        ) + 1
+        lex_delta = (
+            victims.select(F.explode(F.arrays_zip("terms", "tfs")).alias("e"))
+            .select(F.col("e.terms").alias("term"), F.col("e.tfs").alias("tf"))
+            .groupBy("term")
+            .agg(
+                (-F.count("*")).alias("df"),
+                (-F.sum("tf")).alias("cf"),
+            )
+            .select(F.xxhash64("term").alias("term_id"), "term", "df", "cf")
+        )
+        lex_delta.repartition(1).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "lexicon", f"seg={seg}")
+        )
+    finally:
+        victims.unpersist()
+
+    # tombstone file: driver-written commit metadata, exactly like lineage
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    os.makedirs(tomb_dir, exist_ok=True)
+    fname = f"tomb-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(tomb_dir, f"_tmp-{uuid.uuid4().hex}.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(doc_ids, type=pa.int64())}), tmp
+    )
+    os.replace(tmp, os.path.join(tomb_dir, fname))
+
+    n_docs = int(old["n_docs"]) - n_del
+    avgdl = (
+        (int(old["n_docs"]) * float(old["avgdl"]) - dl_del) / n_docs
+        if n_docs
+        else 0.0
+    )
+    stats = {
+        **old,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "tombstone_files": list(old.get("tombstone_files", [])) + [fname],
+        "n_deleted_total": int(old.get("n_deleted_total", 0)) + n_del,
+        "last_delete": {"n_docs": n_del, "segment": seg},
+    }
+    _write_stats_and_success(
+        index_dir,
+        stats,
+        old_marker.get("chunks", 0),
+        _existing_segments(index_dir),
+        old.get("covered_chunks", []),
+    )
+    return DeleteResult(
+        index_dir=index_dir,
+        n_deleted=n_del,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        wall_s=time.time() - t0,
+        tombstone_file=fname,
+    )
 
 
 @_single_writer
@@ -1118,6 +1314,11 @@ def _write_stats_and_success(
                 "n_docs": int(stats["n_docs"]),
                 "avgdl": float(stats["avgdl"]),
             },
+            # Delete files of this snapshot (Iceberg positional-delete
+            # analog): parquet files of tombstoned doc_ids under
+            # tombstones/. Readers mask these ids out of scoring; merges
+            # exclude them from rebuilt segments (see delete_docs).
+            "tombstone_files": list(stats.get("tombstone_files", [])),
             # Unique per commit: the query probe cache keys on this, not
             # on mtime — back-to-back segment appends (ingest_stream) can
             # land within one mtime granule on coarse-timestamp
@@ -1164,6 +1365,21 @@ def merge_index(
     tp = time.time()
     P = num_partitions or spark.sparkContext.defaultParallelism
     staged = spark.read.parquet(os.path.join(index_dir, "staged"))
+    # physical reclaim of deletes: tombstoned docs are excluded from the
+    # rebuilt segment (posting bytes shrink), but the tombstone files carry
+    # forward — the immutable staged chunks still hold the deleted rows, so
+    # every future rebuild must keep filtering (see delete_docs)
+    tomb_files: list[str] = []
+    old_stats_path = os.path.join(index_dir, "stats.json")
+    if os.path.exists(old_stats_path):
+        try:
+            with open(old_stats_path) as f:
+                tomb_files = list(json.load(f).get("tombstone_files", []))
+        except (OSError, ValueError):
+            tomb_files = []
+    if tomb_files:
+        tomb = _tombstone_df(spark, index_dir, {"tombstone_files": tomb_files})
+        staged = staged.join(F.broadcast(tomb), "doc_id", "left_anti")
     all_chunks = staged_chunks(spark, index_dir)
     if n_chunks is None:
         # keep the _SUCCESS marker truthful when invoked standalone (e.g.
@@ -1223,6 +1439,7 @@ def merge_index(
         "build_wall_s": wall,
         "phase_timings_s": {k: round(v, 3) for k, v in timings.items()},
         "covered_chunks": sorted(all_chunks),
+        "tombstone_files": tomb_files,
     }
     _write_stats_and_success(
         index_dir, stats, n_chunks, segments=[0], covered_chunks=all_chunks

@@ -215,6 +215,57 @@ def _probe_dfs(
     return {i: cache[i] for i in ids}
 
 
+# Tombstone broadcast cache, keyed like the probe cache by (index_dir,
+# commit version): the delete set is immutable per snapshot, so one driver
+# read + one executor broadcast serves every query against that version.
+# Values: (id(SparkContext), Broadcast[np.ndarray uint64 sorted] | None).
+_TOMB_CACHE: dict = {}
+
+
+def _load_tombstones_bc(spark: SparkSession, index_dir: str, marker: dict):
+    """Broadcast of the snapshot's tombstoned doc_ids (sorted uint64), or
+    None when the snapshot has no deletes. Files are driver-read with
+    pyarrow (commit metadata, like lineage) — 8 bytes per lifetime-deleted
+    doc — and shipped to executors once per (index version, SparkContext)."""
+    files = marker.get("tombstone_files") or []
+    if not files:
+        return None
+    key = (index_dir, _index_version(index_dir, marker))
+    sc = spark.sparkContext
+    hit = _TOMB_CACHE.get(key)
+    if hit is not None and hit[0] == id(sc):
+        return hit[1]
+    import pyarrow.parquet as pq
+
+    arrs = [
+        pq.read_table(
+            os.path.join(index_dir, "tombstones", f), columns=["doc_id"]
+        )
+        .column("doc_id")
+        .to_numpy()
+        .astype(np.int64)
+        for f in files
+    ]
+    dead = np.unique(np.concatenate(arrs).view(np.uint64))  # sorted unsigned
+    bc = sc.broadcast(dead)
+    for stale in [k for k in _TOMB_CACHE if k[0] == index_dir and k != key]:
+        del _TOMB_CACHE[stale]
+    _TOMB_CACHE[key] = (id(sc), bc)
+    return bc
+
+
+def _mask_alive(docs_u: np.ndarray, dead: np.ndarray | None):
+    """Boolean keep-mask over unsigned doc ids vs the sorted tombstone set,
+    or None when nothing is masked (fast path)."""
+    if dead is None or not len(docs_u):
+        return None
+    pos = np.searchsorted(dead, docs_u)
+    hit = (pos < len(dead)) & (dead[np.minimum(pos, len(dead) - 1)] == docs_u)
+    if not hit.any():
+        return None
+    return ~hit
+
+
 def _snapshot_stats(index_dir: str, marker: dict) -> dict:
     """Scoring globals (n_docs, avgdl) for the snapshot ``marker`` commits.
 
@@ -354,9 +405,10 @@ def topk(
                     "dls", "block_max_tf", "block_min_dl", "first_doc", "last_doc")
         )
         idf_map = {t: v["idf"] for t, v in terminfo.items()}
+        dead_bc = _load_tombstones_bc(spark, index_dir, marker)
         if mode == "exhaustive":
             scored = pst.mapInPandas(
-                _exhaustive_scorer(idf_map, avgdl), EXHAUSTIVE_SCHEMA
+                _exhaustive_scorer(idf_map, avgdl, dead_bc), EXHAUSTIVE_SCHEMA
             )
             # canonical-order per-doc sum (see _wand_slice bit-reproducibility
             # note): a doc has ≤|q| partial rows, one per query term; fold
@@ -384,7 +436,7 @@ def topk(
             n_groups = int(max(1, min(4 * par, (total_df // BLOCK) // 512 + 1)))
             grouped = pst.withColumn("wg", F.pmod(F.col("slice"), F.lit(n_groups)))
             res = grouped.groupBy("seg", "wg").applyInPandas(
-                _wand_slice(idf_map, avgdl, k), RESULT_SCHEMA
+                _wand_slice(idf_map, avgdl, k, dead_bc), RESULT_SCHEMA
             )
         else:
             raise ValueError(f"unknown mode {mode!r}")
@@ -508,9 +560,11 @@ def topk_batch(
         n_qb = int(max(1, min(len(idf_by_q), n_qb)))
 
     idf_all = {t: v["idf"] for t, v in lex.items()}
+    dead_bc = _load_tombstones_bc(spark, index_dir, marker)
 
     def run_slice(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         qb = int(key[2])
+        dead = dead_bc.value if dead_bc is not None else None
         outs = []
         # Build each term's block structure ONCE per group and share it —
         # including its memoized decoded blocks — across every query in the
@@ -537,7 +591,7 @@ def topk_batch(
             terms = [tb_cache[t] for t in idf_map if t in tb_cache]
             if not terms:
                 continue
-            res = _wand_terms_topk(terms, k)
+            res = _wand_terms_topk(terms, k, dead)
             if len(res):
                 res.insert(0, "query_id", np.int64(qid))
                 outs.append(res)
@@ -573,10 +627,11 @@ def topk_batch(
     )
 
 
-def _exhaustive_scorer(idf_map: dict[int, float], avgdl: float):
+def _exhaustive_scorer(idf_map: dict[int, float], avgdl: float, dead_bc=None):
     qpos_map = {t: i for i, t in enumerate(idf_map)}  # query appearance order
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dead = dead_bc.value if dead_bc is not None else None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -605,6 +660,9 @@ def _exhaustive_scorer(idf_map: dict[int, float], avgdl: float):
                 pdf["term_id"].map(qpos_map).to_numpy(dtype=np.int32), n
             )
             partial = w * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+            keep = _mask_alive(ids, dead)  # tombstoned docs never emit rows
+            if keep is not None:
+                ids, qpos, partial = ids[keep], qpos[keep], partial[keep]
             yield pd.DataFrame(
                 {"doc_id": ids.view(np.int64), "qpos": qpos, "score": partial}
             )
@@ -682,7 +740,7 @@ class _TermBlocks:
         return -1
 
 
-def _wand_slice(idf_map: dict[int, float], avgdl: float, k: int):
+def _wand_slice(idf_map: dict[int, float], avgdl: float, k: int, dead_bc=None):
     """Per-slice block-max WAND, vectorized block-at-a-time.
 
     Two-level evaluation (the SURVEY §2.9 design): level 1 works ONLY on
@@ -729,12 +787,15 @@ def _wand_slice(idf_map: dict[int, float], avgdl: float, k: int):
             for t in idf_map
             if t in by_tid
         ]
-        return _wand_terms_topk(terms, k)
+        dead = dead_bc.value if dead_bc is not None else None
+        return _wand_terms_topk(terms, k, dead)
 
     return run
 
 
-def _wand_terms_topk(terms: list["_TermBlocks"], k: int) -> pd.DataFrame:
+def _wand_terms_topk(
+    terms: list["_TermBlocks"], k: int, dead: "np.ndarray | None" = None
+) -> pd.DataFrame:
     """Block-max WAND top-k over prebuilt per-term block structures.
 
     Split out of ``_wand_slice`` so batch retrieval can build each term's
@@ -845,6 +906,16 @@ def _wand_terms_topk(terms: list["_TermBlocks"], k: int) -> pd.DataFrame:
             # association, so its float result depends on how partials
             # happen to group — never emit it as a score
             s_est = np.add.reduceat(s_est, starts)
+        # tombstoned docs leave candidacy HERE, before the θ filter and the
+        # canonical scoring: θ is then built from live docs only, so a dead
+        # doc can neither rank nor displace — exactly the index built
+        # without it (block-max bounds still include dead docs, which only
+        # makes pruning conservative, never wrong)
+        alive = _mask_alive(d, dead)
+        if alive is not None:
+            d, s_est = d[alive], s_est[alive]
+            if not len(d):
+                continue
         if ness_i:
             # keep candidates whose optimistic bound clears θ. Margin:
             # eps (metadata-sweep error) + a reorder term — the estimate
