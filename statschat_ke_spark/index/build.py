@@ -747,21 +747,45 @@ def update_index(
 
 
 def _existing_segments(index_dir: str) -> list[int]:
-    """All on-disk segment numbers: union of postings/ and lexicon/ seg dirs.
-    A delete commits a LEXICON-ONLY delta segment (negative df/cf rows, no
-    postings dir — see delete_docs), which must stay in the marker's segment
-    list across later appends or the df probe would stop seeing the
-    subtraction and idf would silently revert."""
-    segs: set[int] = set()
-    for table in ("postings", "lexicon"):
-        p = os.path.join(index_dir, table)
-        if os.path.isdir(p):
-            segs.update(
-                int(d.split("=", 1)[1])
-                for d in os.listdir(p)
-                if d.startswith("seg=")
-            )
-    return sorted(segs)
+    """On-disk DATA segment numbers (postings/ dir listing)."""
+    p = os.path.join(index_dir, "postings")
+    if not os.path.isdir(p):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(p) if d.startswith("seg=")
+    )
+
+
+def _listed_delta_segments(index_dir: str) -> list[int]:
+    """Lexicon-only delete-delta segment dirs present ON DISK (committed or
+    not) — used only to pick collision-free new ids; never published."""
+    p = os.path.join(index_dir, "lexicon")
+    if not os.path.isdir(p):
+        return []
+    return sorted(
+        s
+        for s in (
+            int(d.split("=", 1)[1])
+            for d in os.listdir(p)
+            if d.startswith("seg=")
+        )
+        if s >= DELETE_SEG_BASE
+    )
+
+
+def _committed_segments(index_dir: str, stats: dict) -> list[int]:
+    """The segment list a commit marker should publish: data segments from
+    the postings listing, plus the delete-delta segments stats.json records
+    as COMMITTED. Delta dirs are deliberately NOT taken from the directory
+    listing — a delete that crashed between its lexicon-delta write and its
+    stats/marker commit leaves an orphan dir, and publishing it through a
+    later append's marker would subtract df without the matching tombstone
+    or n_docs decrement (silently wrong idf). Orphan dirs are inert garbage
+    until the next compaction clears the lexicon table."""
+    return sorted(
+        set(_existing_segments(index_dir))
+        | {int(s) for s in stats.get("delete_segments", [])}
+    )
 
 
 def maybe_compact(
@@ -827,8 +851,6 @@ def delete_docs(
     spark: SparkSession,
     index_dir: str,
     urls,
-    *,
-    num_partitions: int | None = None,
 ) -> DeleteResult:
     """DELETE documents from a committed index by url — the Iceberg
     delete-file analog (takedown/GDPR shape) with EXACT BM25 semantics over
@@ -840,7 +862,9 @@ def delete_docs(
     - a **negative lexicon delta segment** (df/cf of the deleted docs' terms,
       negated) keeps the query-time df probe — and with it idf — exact: the
       probe SUMS df over the marker's segments, so subtraction is just one
-      more segment;
+      more segment. All lifetime deletes FOLD into a single delta segment
+      (the previous delta is re-aggregated with the new one), so probe
+      fan-out stays O(1) no matter how many takedown calls accumulate;
     - **stats** (n_docs, avgdl) are decremented exactly from the deleted
       docs' doclens, keeping the BM25 length normalization exact.
 
@@ -848,16 +872,33 @@ def delete_docs(
     (rank AND score — property-tested), while the delete itself costs one
     pushed-down scan of the staged table plus a |deleted|-sized aggregation.
 
+    Scope: only docs in the COMMITTED snapshot (staged chunks listed in
+    stats.json's covered_chunks) are deletable — a url sitting in a
+    staged-but-unmerged chunk (``ingest_stream(merge=False)``, or the window
+    between _stage_chunk and append_segment) was never added to the
+    committed stats, so subtracting it would corrupt n_docs/idf for the live
+    corpus. Delete it after its chunk commits.
+
+    Crash safety: the stats/_SUCCESS rename is the commit point. The delta
+    segment is written to a fresh reserved id first (never in any marker
+    until committed — marker segment lists come from _committed_segments,
+    not directory listing), the tombstone file second, stats+marker last. A
+    crash anywhere before the marker rename leaves the committed snapshot
+    untouched plus inert orphan files; a retry re-finds the victims (their
+    tombstone never committed) and performs the delete exactly once.
+
     Physical reclaim happens at the next compaction (merge_index excludes
     tombstoned docs when it rebuilds, so posting bytes shrink), but the
     tombstone files are retained forever: the staged chunks still hold the
     deleted rows (they are the resume/lineage anchor and are immutable), so
     the filter must survive every future rebuild. Deletion is therefore
     TERMINAL for a url in this index — update_index's new-vs-existing
-    anti-join sees the old staged row and treats a re-send as already
-    ingested. Re-admitting a deleted url requires a fresh build. Tombstone
-    volume is ∝ lifetime deletes (8 bytes/doc), broadcast to executors once
-    per snapshot version at query time.
+    anti-join treats a re-send as already ingested, and append_segment
+    anti-joins every chunk it packs against the tombstones, so even a
+    streaming drain that re-lands a deleted url cannot re-admit it.
+    Re-admitting a deleted url requires a fresh build. Tombstone volume is
+    ∝ lifetime deletes (8 bytes/doc), broadcast to executors once per
+    snapshot version at query time.
 
     Idempotent: re-deleting already-tombstoned or unknown urls is a no-op
     (no double-subtraction of df/avgdl).
@@ -887,12 +928,22 @@ def delete_docs(
         ).distinct()
 
     staged = spark.read.parquet(os.path.join(index_dir, "staged"))
+    covered = old.get("covered_chunks")
+    if covered is not None:
+        # committed corpus only — see "Scope" in the docstring
+        staged = staged.filter(F.col("chunk").isin([int(c) for c in covered]))
     victims = staged.join(F.broadcast(url_df), "url", "semi")
     tomb = _tombstone_df(spark, index_dir, old)
     if tomb is not None:
         # idempotence: docs already tombstoned must not subtract twice
         victims = victims.join(F.broadcast(tomb), "doc_id", "left_anti")
-    victims = victims.select("doc_id", "doclen", "terms", "tfs").persist()
+    # one row per doc even if a url was ever staged twice
+    victims = (
+        victims.select("doc_id", "doclen", "terms", "tfs")
+        .dropDuplicates(["doc_id"])
+        .persist()
+    )
+    old_delta_segs = [int(s) for s in old.get("delete_segments", [])]
     try:
         hit = victims.select("doc_id", "doclen").collect()  # ≤ |urls| rows
         if not hit:
@@ -908,14 +959,14 @@ def delete_docs(
         dl_del = float(sum(int(r.doclen) for r in hit))
         doc_ids = sorted(int(r.doc_id) for r in hit)
 
-        # negative lexicon delta: one segment whose (df, cf) rows subtract
-        # the deleted docs' contribution when the probe sums over segments.
-        # Reserved seg namespace: append_segment numbers real segments by
-        # CHUNK id (batch chunks from 0, stream chunks from 1_000_000), so a
-        # delta at max(existing)+1 could collide with — and be overwritten
-        # by — a later append's lexicon/seg=N write.
+        # negative lexicon delta, FOLDED with the previously committed delta
+        # so exactly one delta segment is live at a time. Fresh reserved seg
+        # id (> every on-disk delta dir, committed or orphaned, and disjoint
+        # from chunk-numbered data segments): the superseded/orphan dirs
+        # stay on disk — concurrent readers of older snapshots may still
+        # scan them — and are reclaimed when compaction clears the lexicon.
         seg = max(
-            (s for s in _existing_segments(index_dir) if s >= DELETE_SEG_BASE),
+            _listed_delta_segments(index_dir) + old_delta_segs,
             default=DELETE_SEG_BASE - 1,
         ) + 1
         lex_delta = (
@@ -928,6 +979,18 @@ def delete_docs(
             )
             .select(F.xxhash64("term").alias("term_id"), "term", "df", "cf")
         )
+        if old_delta_segs:
+            prev = spark.read.parquet(
+                *(
+                    os.path.join(index_dir, "lexicon", f"seg={s}")
+                    for s in old_delta_segs
+                )
+            ).select("term_id", "term", "df", "cf")
+            lex_delta = (
+                lex_delta.unionByName(prev)
+                .groupBy("term_id", "term")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            )
         lex_delta.repartition(1).write.mode("overwrite").parquet(
             os.path.join(index_dir, "lexicon", f"seg={seg}")
         )
@@ -958,6 +1021,7 @@ def delete_docs(
         "n_docs": n_docs,
         "avgdl": avgdl,
         "tombstone_files": list(old.get("tombstone_files", [])) + [fname],
+        "delete_segments": [seg],  # the folded delta supersedes prior ones
         "n_deleted_total": int(old.get("n_deleted_total", 0)) + n_del,
         "last_delete": {"n_docs": n_del, "segment": seg},
     }
@@ -965,7 +1029,7 @@ def delete_docs(
         index_dir,
         stats,
         old_marker.get("chunks", 0),
-        _existing_segments(index_dir),
+        _committed_segments(index_dir, stats),
         old.get("covered_chunks", []),
     )
     return DeleteResult(
@@ -1000,7 +1064,7 @@ def append_segment(
 
     def _unchanged() -> BuildResult:
         _write_stats_and_success(
-            index_dir, old, n_chunks, _existing_segments(index_dir),
+            index_dir, old, n_chunks, _committed_segments(index_dir, old),
             old.get("covered_chunks", []),
         )
         return BuildResult(
@@ -1019,6 +1083,13 @@ def append_segment(
     staged_k = spark.read.parquet(
         os.path.join(index_dir, "staged", f"chunk={chunk}")
     )
+    tomb = _tombstone_df(spark, index_dir, old)
+    if tomb is not None:
+        # terminal-delete enforcement at the phase-B choke point: a chunk
+        # that re-lands a tombstoned url (streaming drains have no url
+        # anti-join) must not re-admit the doc — it would re-increment
+        # n_docs/df for a doc_id every scorer masks forever
+        staged_k = staged_k.join(F.broadcast(tomb), "doc_id", "left_anti")
     srow = staged_k.agg(
         F.count("*").alias("n"), F.sum("doclen").alias("dl_sum")
     ).collect()[0]
@@ -1061,7 +1132,7 @@ def append_segment(
         "covered_chunks": sorted(set(old.get("covered_chunks", [])) | {chunk}),
     }
     _write_stats_and_success(
-        index_dir, stats, n_chunks, _existing_segments(index_dir),
+        index_dir, stats, n_chunks, _committed_segments(index_dir, stats),
         stats["covered_chunks"],
     )
     return BuildResult(
@@ -1440,6 +1511,11 @@ def merge_index(
         "phase_timings_s": {k: round(v, 3) for k, v in timings.items()},
         "covered_chunks": sorted(all_chunks),
         "tombstone_files": tomb_files,
+        # compaction folds the deletes physically: the rebuilt lexicon is
+        # computed over the survivors, so no delta segment remains live
+        # (the cleared lexicon/ dir also reclaimed any orphan/superseded
+        # delta dirs)
+        "delete_segments": [],
     }
     _write_stats_and_success(
         index_dir, stats, n_chunks, segments=[0], covered_chunks=all_chunks

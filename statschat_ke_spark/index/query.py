@@ -249,7 +249,17 @@ def _load_tombstones_bc(spark: SparkSession, index_dir: str, marker: dict):
     dead = np.unique(np.concatenate(arrs).view(np.uint64))  # sorted unsigned
     bc = sc.broadcast(dead)
     for stale in [k for k in _TOMB_CACHE if k[0] == index_dir and k != key]:
-        del _TOMB_CACHE[stale]
+        sc_id, old_bc = _TOMB_CACHE.pop(stale)
+        if old_bc is not None and sc_id == id(sc):
+            try:
+                # release executor/driver block-manager storage NOW — a
+                # long-lived ingest+serve driver re-broadcasts per commit
+                # version, and unreferenced broadcasts otherwise linger
+                # until context teardown (non-blocking; in-flight tasks
+                # holding .value are unaffected)
+                old_bc.unpersist(blocking=False)
+            except Exception:
+                pass  # stopped context / already destroyed
     _TOMB_CACHE[key] = (id(sc), bc)
     return bc
 

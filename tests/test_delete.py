@@ -189,3 +189,122 @@ def test_delete_everything(spark, tmp_path_factory):
     assert res.n_docs == 0 and res.avgdl == 0.0
     for mode in ("wand", "exhaustive"):
         assert topk(spark, d, QUERIES[0], 10, mode=mode).count() == 0
+
+
+def test_multiple_deletes_fold_to_one_delta_segment(spark, corpus, tmp_path_factory):
+    """N takedown calls must leave exactly ONE live delta segment (probe
+    fan-out O(1) in lifetime deletes) and stay exact vs a fresh build."""
+    import json
+
+    docs = _docs(spark, corpus)
+    d1 = str(tmp_path_factory.mktemp("fold") / "idx")
+    d2 = str(tmp_path_factory.mktemp("foldref") / "idx")
+    build_index(spark, docs, d1, num_partitions=P)
+    urls = sorted(
+        r.url
+        for r in spark.read.parquet(os.path.join(d1, "docs")).select("url").collect()
+    )
+    for batch in (urls[:15], urls[15:30], urls[30:45]):
+        delete_docs(spark, d1, batch)
+    with open(os.path.join(d1, "stats.json")) as f:
+        stats = json.load(f)
+    assert len(stats["delete_segments"]) == 1
+    with open(os.path.join(d1, "_SUCCESS.json")) as f:
+        marker = json.load(f)
+    deltas_in_marker = [s for s in marker["segments"] if int(s) >= DELETE_SEG_BASE]
+    assert deltas_in_marker == stats["delete_segments"]
+    build_index(spark, docs.filter(~docs.url.isin(urls[:45])), d2, num_partitions=P)
+    _assert_same_topk(spark, d1, d2, "wand")
+    _assert_same_topk(spark, d1, d2, "exhaustive")
+
+
+def test_orphan_delta_segment_never_published(spark, corpus, tmp_path_factory):
+    """A delete that crashed after its lexicon-delta write but before the
+    stats/marker commit leaves an orphan delta dir; later commits must NOT
+    publish it (marker segments come from committed state, not directory
+    listing), and a retry of the delete must subtract exactly once."""
+    import json
+
+    docs = _docs(spark, corpus)
+    pdf2 = generate_documents(50, seed=42)
+    extra = _docs(spark, pdf2)
+    d1 = str(tmp_path_factory.mktemp("orph") / "idx")
+    d2 = str(tmp_path_factory.mktemp("orphref") / "idx")
+    build_index(spark, docs, d1, num_partitions=P)
+    victims = sorted(
+        r.url
+        for r in spark.read.parquet(os.path.join(d1, "docs")).select("url").collect()
+    )[:20]
+
+    # simulate the crash window: an orphan negative-delta dir on disk with
+    # no tombstone, no stats update, no marker commit
+    orphan_seg = DELETE_SEG_BASE + 7
+    spark.createDataFrame(
+        [(123456789, "zzzorphan", -999999, -999999)],
+        "term_id long, term string, df long, cf long",
+    ).write.mode("overwrite").parquet(
+        os.path.join(d1, "lexicon", f"seg={orphan_seg}")
+    )
+
+    # a later append publishes a fresh marker — the orphan must stay out
+    update_index(spark, extra, d1, num_partitions=P, strategy="segment")
+    with open(os.path.join(d1, "_SUCCESS.json")) as f:
+        marker = json.load(f)
+    assert orphan_seg not in [int(s) for s in marker["segments"]]
+
+    # the delete retry lands once, on a seg id that avoids the orphan dir
+    res = delete_docs(spark, d1, victims)
+    assert res.n_deleted == 20
+    with open(os.path.join(d1, "stats.json")) as f:
+        stats = json.load(f)
+    assert stats["delete_segments"] and stats["delete_segments"][0] != orphan_seg
+
+    ref = docs.filter(~docs.url.isin(victims)).unionByName(extra)
+    build_index(spark, ref, d2, num_partitions=P)
+    _assert_same_topk(spark, d1, d2, "wand")
+
+
+def test_delete_ignores_uncommitted_staged_chunk(spark, corpus, tmp_path_factory):
+    """A url that exists only in a staged-but-unmerged chunk was never added
+    to the committed stats — deleting it must be a no-op, not a stats
+    corruption."""
+    from statschat_ke_spark.index.build import _prepare_base, _stage_chunk
+
+    docs = _docs(spark, corpus)
+    pdf2 = generate_documents(40, seed=13)
+    pending = _docs(spark, pdf2)
+    d = str(tmp_path_factory.mktemp("unc") / "idx")
+    build_index(spark, docs, d, num_partitions=P)
+    base = _prepare_base(pending, "en")
+    _stage_chunk(spark, base, d, 1)  # staged, never appended
+    pending_urls = [r.url for r in base.select("url").limit(5).collect()]
+    before = topk(spark, d, QUERIES[0], 10).toPandas()
+    res = delete_docs(spark, d, pending_urls)
+    assert res.n_deleted == 0 and res.tombstone_file is None
+    assert topk(spark, d, QUERIES[0], 10).toPandas().equals(before)
+
+
+def test_streaming_reland_of_deleted_url_not_readmitted(
+    spark, corpus, tmp_path_factory
+):
+    """append_segment anti-joins every chunk against the tombstones, so a
+    drain that re-lands a deleted url (no url anti-join on the streaming
+    path) cannot re-increment n_docs/df for a forever-masked doc."""
+    from statschat_ke_spark.index.build import _prepare_base, _stage_chunk, append_segment
+
+    docs = _docs(spark, corpus)
+    d = str(tmp_path_factory.mktemp("rl") / "idx")
+    build_index(spark, docs, d, num_partitions=P)
+    victims = sorted(
+        r.url
+        for r in spark.read.parquet(os.path.join(d, "docs")).select("url").collect()
+    )[:10]
+    res = delete_docs(spark, d, victims)
+    before = topk(spark, d, QUERIES[0], 10).toPandas()
+
+    # simulate the streaming drain re-landing the deleted urls verbatim
+    reland = _prepare_base(docs.filter(docs.url.isin(victims)), "en")
+    _stage_chunk(spark, reland, d, 1_000_123)
+    out = append_segment(spark, d, 1_000_123, num_partitions=P)
+    assert out.n_docs == res.n_docs  # nothing re-admitted
+    assert topk(spark, d, QUERIES[0], 10).toPandas().equals(before)
