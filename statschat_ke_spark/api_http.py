@@ -102,6 +102,8 @@ class StatsChatApp:
                 return self._search(environ, start_response)
             if method == "POST" and path == "/feedback":
                 return self._feedback(environ, start_response)
+            if method == "POST" and path == "/delete":
+                return self._delete(environ, start_response)
             return self._respond(
                 start_response, "404 Not Found", {"detail": "Not Found"}
             )
@@ -137,6 +139,8 @@ class StatsChatApp:
                 "GET /search": "q (required), content_type=latest|all",
                 "POST /feedback": "rating (required), rating_comment, "
                 "question, content_type, answer",
+                "POST /delete": '{"urls": [...]} — tombstone documents '
+                "(takedown); terminal per url, idempotent",
             },
         }
 
@@ -201,6 +205,46 @@ class StatsChatApp:
             )
         # main_api_cloud.py:138-151 — 202, empty body
         return self._respond(start_response, "202 Accepted", "")
+
+    def _delete(self, environ: dict, start_response: Callable) -> list[bytes]:
+        """Tombstone documents by url (index.build.delete_docs). The next
+        /search automatically serves the new snapshot — topk re-reads the
+        commit marker per query. A concurrent phase-B writer (in-process
+        thread or foreign pid) maps to 409 Conflict rather than corrupting;
+        the engine call itself is idempotent and terminal per url."""
+        from statschat_ke_spark.index.build import WriterConflict, delete_docs
+
+        try:
+            length = int(environ.get("CONTENT_LENGTH") or 0)
+            body = json.loads(environ["wsgi.input"].read(length) or b"{}")
+        except (ValueError, KeyError):
+            body = None
+        urls = body.get("urls") if isinstance(body, dict) else None
+        if (
+            not isinstance(urls, list)
+            or not urls
+            or not all(isinstance(u, str) and u for u in urls)
+        ):
+            return self._respond(
+                start_response,
+                "422 Unprocessable Entity",
+                {"detail": "field required: urls (non-empty list of str)"},
+            )
+        try:
+            res = delete_docs(self.spark, self.index_dir, urls)
+        except WriterConflict as e:
+            return self._respond(
+                start_response, "409 Conflict", {"detail": str(e)}
+            )
+        return self._respond(
+            start_response,
+            "200 OK",
+            {
+                "deleted": res.n_deleted,
+                "n_docs": res.n_docs,
+                "already_deleted_or_unknown": len(set(urls)) - res.n_deleted,
+            },
+        )
 
 
 def serve(app: StatsChatApp, host: str = "127.0.0.1", port: int = 8000) -> None:

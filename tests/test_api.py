@@ -293,3 +293,71 @@ def test_doc_u_asc_unsigned_tie_order(spark):
     )
     got = [r.doc_id for r in df.orderBy(F.desc("score"), _doc_u_asc()).collect()]
     assert got == [7, 3, -5]
+
+
+def test_http_delete_endpoint(spark, index_dir, tmp_path_factory):
+    """POST /delete tombstones documents and the very next /search serves the
+    new snapshot (topk re-reads the marker per query); validation 422s; a
+    held writer lock maps to 409 Conflict."""
+    import json as _json
+    import shutil as _shutil
+    import threading
+
+    from statschat_ke_spark.api_http import StatsChatApp
+    from statschat_ke_spark.index.build import _writer_lock
+
+    d = str(tmp_path_factory.mktemp("httpdel") / "idx")
+    _shutil.copytree(index_dir, d)
+    app = StatsChatApp(spark, d)
+    client = _WSGIClient(app)
+
+    code, about = client.request("GET", "/")
+    assert "POST /delete" in about["endpoints"]
+
+    code, body = client.request("GET", "/search", query="q=county+report")
+    assert code == 200 and body["references"]
+    victim_url = body["references"][0]["url"]
+    victim_id = body["references"][0]["doc_id"]
+
+    code, out = client.request(
+        "POST", "/delete", body=_json.dumps({"urls": [victim_url]}).encode()
+    )
+    assert code == 200 and out["deleted"] == 1
+
+    code, body2 = client.request("GET", "/search", query="q=county+report")
+    assert code == 200
+    assert victim_id not in [r["doc_id"] for r in body2["references"]]
+
+    # idempotent re-delete over HTTP
+    code, out2 = client.request(
+        "POST", "/delete", body=_json.dumps({"urls": [victim_url]}).encode()
+    )
+    assert code == 200 and out2["deleted"] == 0
+    assert out2["already_deleted_or_unknown"] == 1
+
+    # validation
+    for bad in (b"{}", b'{"urls": []}', b'{"urls": "x"}', b'{"urls": [1]}', b"nope"):
+        code, _ = client.request("POST", "/delete", body=bad)
+        assert code == 422, bad
+
+    # a live writer (other thread holding the lock) → 409, index unharmed
+    entered, release = threading.Event(), threading.Event()
+
+    def hold():
+        with _writer_lock(d):
+            entered.set()
+            release.wait(10)
+
+    t = threading.Thread(target=hold)
+    t.start()
+    assert entered.wait(10)
+    try:
+        code, out3 = client.request(
+            "POST", "/delete", body=_json.dumps({"urls": ["whatever"]}).encode()
+        )
+        assert code == 409
+    finally:
+        release.set()
+        t.join(10)
+    code, _ = client.request("GET", "/search", query="q=county+report")
+    assert code == 200
