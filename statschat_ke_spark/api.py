@@ -24,6 +24,10 @@ on ≤k dicts at the same point (cloud_llm.py:156-299).
 
 from __future__ import annotations
 
+import copy
+import threading
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from statschat_ke_spark.functions.refops import (
@@ -33,6 +37,37 @@ from statschat_ke_spark.functions.refops import (
 )
 from statschat_ke_spark.index.query import LONG_MIN, topk
 from statschat_ke_spark.operators.postproc import search_pipeline
+
+
+# Query-RESULT cache — the engine analog of the reference's ``lru_cache``
+# on Inquirer.make_query (cloud_llm.py:235: repeated questions skip
+# retrieval entirely). Keyed by the index's COMMIT VERSION plus every
+# argument that shapes the response, so a segment append / delete / compact
+# invalidates implicitly (new version ⇒ new key) — the reference's cache
+# has no such invalidation and serves stale results after an UPDATE run
+# until process restart (documented divergence, in our favor). Thread-safe
+# LRU; entries are deep-copied on the way out so callers (api_http mutates
+# the response) can't poison the cache.
+RESULT_CACHE_MAX = 256
+_RESULT_CACHE: OrderedDict = OrderedDict()
+_RESULT_LOCK = threading.Lock()
+
+
+def _result_cache_get(key):
+    with _RESULT_LOCK:
+        hit = _RESULT_CACHE.get(key)
+        if hit is not None:
+            _RESULT_CACHE.move_to_end(key)
+            return copy.deepcopy(hit)
+    return None
+
+
+def _result_cache_put(key, value) -> None:
+    with _RESULT_LOCK:
+        _RESULT_CACHE[key] = copy.deepcopy(value)
+        _RESULT_CACHE.move_to_end(key)
+        while len(_RESULT_CACHE) > RESULT_CACHE_MAX:
+            _RESULT_CACHE.popitem(last=False)
 
 
 def _doc_u_asc():
@@ -57,6 +92,7 @@ def search(
     fetch_k: int | None = None,
     highlight: bool = True,
     mode: str = "auto",
+    use_cache: bool = True,
 ) -> dict:
     """Answer one question: returns the reference's response shape
     (main_api_cloud.py:111-120) minus the LLM answer —
@@ -73,6 +109,33 @@ def search(
     if not q:
         # P10 — the reference 422s on empty questions
         return {"question": "", "latest_weight": None, "references": []}
+
+    cache_key = None
+    if use_cache:
+        from statschat_ke_spark.index.query import _index_version
+
+        # id(metadata): the DataFrame is an opaque lazy plan — identity is
+        # the cacheable notion of "same metadata"; a caller passing a new
+        # frame gets a fresh entry. The commit version invalidates on every
+        # build/append/delete/compact.
+        cache_key = (
+            index_dir,
+            _index_version(index_dir),
+            q,
+            k,
+            k_contexts,
+            min_score,
+            latest_max,
+            now,
+            id(metadata) if metadata is not None else None,
+            latest_only,
+            fetch_k,
+            highlight,
+            mode,
+        )
+        hit = _result_cache_get(cache_key)
+        if hit is not None:
+            return hit
 
     will_filter_latest = (
         latest_only and metadata is not None and "latest" in metadata.columns
@@ -148,4 +211,7 @@ def search(
         out = out.withColumn("text", highlight_udf(F.col("text"), phrases))
 
     refs = [r.asDict() for r in out.collect()]
-    return {"question": q_escaped, "latest_weight": lw, "references": refs}
+    result = {"question": q_escaped, "latest_weight": lw, "references": refs}
+    if cache_key is not None:
+        _result_cache_put(cache_key, result)
+    return result

@@ -361,3 +361,45 @@ def test_http_delete_endpoint(spark, index_dir, tmp_path_factory):
         t.join(10)
     code, _ = client.request("GET", "/search", query="q=county+report")
     assert code == 200
+
+
+def test_search_result_cache(spark, index_dir, tmp_path_factory, monkeypatch):
+    """Repeat questions skip retrieval entirely (the reference's lru_cache on
+    make_query, cloud_llm.py:235) — but keyed by commit version, so a delete
+    invalidates; and returned dicts are copies, so callers can't poison it."""
+    import shutil as _shutil
+
+    import statschat_ke_spark.api as api_mod
+    from statschat_ke_spark.index.build import delete_docs
+
+    d = str(tmp_path_factory.mktemp("cache") / "idx")
+    _shutil.copytree(index_dir, d)
+
+    q = "county economic report"
+    first = search(spark, d, q, k=5)
+    assert first["references"]
+
+    # second call must be served from the cache: retrieval forbidden
+    def boom(*a, **kw):  # pragma: no cover - should never run
+        raise AssertionError("topk ran on a cached question")
+
+    monkeypatch.setattr(api_mod, "topk", boom)
+    second = search(spark, d, q, k=5)
+    assert second == first
+    # mutating the returned dict must not poison the cache
+    second["references"].append({"doc_id": -1})
+    second["content_type"] = "mutated"
+    third = search(spark, d, q, k=5)
+    assert third == first
+    monkeypatch.undo()
+
+    # a delete commits a new version -> same question recomputes and the
+    # tombstoned doc is gone
+    victim = first["references"][0]
+    delete_docs(spark, d, [victim["url"]])
+    fourth = search(spark, d, q, k=5)
+    assert victim["doc_id"] not in [r["doc_id"] for r in fourth["references"]]
+
+    # use_cache=False bypasses entirely
+    fifth = search(spark, d, q, k=5, use_cache=False)
+    assert fifth == fourth
