@@ -120,17 +120,25 @@ def decode_images(media: DataFrame, num_partitions: int | None = None) -> DataFr
         for pdf in batches:
             if not len(pdf):
                 continue
-            pix = [
-                _decode_payload(p, int(w), int(h), int(c)).tobytes()
-                for p, w, h, c in zip(pdf["payload"], pdf["width"], pdf["height"], pdf["channels"])
+            # Emit the dims of the DECODED array, not the metadata hints: a
+            # real codec (Pillow, when present) returns the image's actual
+            # (h, w, 3) regardless of what meta claims, and downstream
+            # reshape(h, w, c) must describe the buffer it accompanies —
+            # trusting meta dims here broke every real-codec decode whose
+            # metadata disagreed with the file.
+            arrs = [
+                _decode_payload(p, int(w), int(h), int(c))
+                for p, w, h, c in zip(
+                    pdf["payload"], pdf["width"], pdf["height"], pdf["channels"]
+                )
             ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
-                    "width": pdf["width"].astype("int32").to_numpy(),
-                    "height": pdf["height"].astype("int32").to_numpy(),
-                    "channels": pdf["channels"].astype("int32").to_numpy(),
-                    "pixels": pix,
+                    "width": np.array([a.shape[1] for a in arrs], dtype=np.int32),
+                    "height": np.array([a.shape[0] for a in arrs], dtype=np.int32),
+                    "channels": np.array([a.shape[2] for a in arrs], dtype=np.int32),
+                    "pixels": [a.tobytes() for a in arrs],
                 }
             )
 

@@ -443,7 +443,7 @@ def _lcs_batch_u64(xs: list[str], ys: list[str]):
     return (mlen - pc).astype(np.int64)
 
 
-# Batched-LCS guards: pairs whose (lowercased) longer string exceeds
+# Batched-LCS guards: pairs whose longer string exceeds
 # _LCS_BATCH_MAX_Y run the scalar big-int path instead of inflating the
 # whole batch's padded matrix; within the batch, pairs are processed in
 # y-length-sorted chunks of _LCS_BATCH_CHUNK so padding tracks each chunk's
@@ -480,7 +480,12 @@ def fuzz_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         if not x and not y:
             out[i] = 100.0
             continue
-        xl, yl = x.lower(), y.lower()
+        # CASE-SENSITIVE, like rapidfuzz.fuzz.ratio with its default
+        # processor=None (the reference calls it raw, latest_updates.py:46;
+        # an earlier lowercasing here was a parity break — and Unicode
+        # lowercasing can change string LENGTH, which skewed the
+        # denominator vs the lowered LCS)
+        xl, yl = x, y
         if len(xl) > len(yl):
             xl, yl = yl, xl
         if not xl:

@@ -684,6 +684,10 @@ def update_index(
     fan-out while keeping per-update cost delta-proportional amortized
     (see maybe_compact). The result's ``compacted`` flag reports it.
     """
+    if strategy not in ("segment", "compact"):
+        # same up-front validation as ingest_stream: a typo'd strategy must
+        # not silently take the fresh-dir compaction path
+        raise ValueError(f"unknown strategy {strategy!r}")
     t0 = time.time()
     P = num_partitions or spark.sparkContext.defaultParallelism
     base = _prepare_base(new_docs, lang)
@@ -713,8 +717,6 @@ def update_index(
         result.wall_s = time.time() - t0
         _finalize_stats(index_dir, result.wall_s)
         return result
-    if strategy != "segment":
-        raise ValueError(f"unknown strategy {strategy!r}")
 
     # Reconcile ALL pending chunks (staged minus covered), not only the one
     # just staged: if a prior update crashed between _stage_chunk committing

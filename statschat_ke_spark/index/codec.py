@@ -24,20 +24,14 @@ import numpy as np
 BLOCK = 128  # docs per posting block (block-max WAND granularity)
 
 
-def vbyte_encode(values: np.ndarray) -> bytes:
-    """Encode uint64 array → vbyte bytes (vectorized)."""
+def vbyte_encode(values: np.ndarray, lengths: np.ndarray | None = None) -> bytes:
+    """Encode uint64 array → vbyte bytes (vectorized). ``lengths`` lets the
+    caller pass precomputed ``_vbyte_lengths(v)`` so hot paths that need the
+    lengths anyway (chunk slicing) don't pay the shift-loop pass twice."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # number of 7-bit groups per value (at least 1)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    # 64 bits → max 10 groups
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    tmp = tmp >> np.uint64(7)
-    while tmp.any():
-        nbytes += (tmp > 0).astype(np.int64)
-        tmp = tmp >> np.uint64(7)
+    nbytes = _vbyte_lengths(v) if lengths is None else lengths
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
     # offsets of the first byte of each value
@@ -79,8 +73,9 @@ def vbyte_encode_chunks(values: np.ndarray, chunk_starts: np.ndarray) -> list[by
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return []
-    buf = vbyte_encode(v)
-    ends = np.cumsum(_vbyte_lengths(v))
+    lens = _vbyte_lengths(v)  # computed ONCE, shared by encode + slicing
+    buf = vbyte_encode(v, lengths=lens)
+    ends = np.cumsum(lens)
     # byte offset where each chunk begins
     starts_b = np.zeros(len(chunk_starts), dtype=np.int64)
     starts_b[1:] = ends[np.asarray(chunk_starts[1:], dtype=np.int64) - 1]
@@ -99,7 +94,6 @@ def vbyte_decode(buf: bytes) -> np.ndarray:
     value_idx[1:] = np.cumsum(is_end[:-1])
     n_values = int(is_end.sum())
     # shift amount = position within its value (0,7,14,...)
-    starts = np.zeros(raw.size, dtype=np.int64)
     ends_pos = np.flatnonzero(is_end)
     value_start = np.empty(n_values, dtype=np.int64)
     value_start[0] = 0

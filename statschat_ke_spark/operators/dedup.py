@@ -362,8 +362,13 @@ def simhash_near_pairs(
     max_bucket: int = 4096,
     return_dropped: bool = False,
 ):
-    """Near-dup pairs with hamming ≤ t via 4×16-bit chunk banding
-    (pigeonhole: ≤3 differing bits ⇒ at least one identical chunk).
+    """Near-dup pairs with hamming ≤ t via chunk banding with
+    ``max(4, t+1)`` chunks (pigeonhole: t differing bits spread over t+1
+    chunks leave at least one chunk identical, so candidate recall is
+    COMPLETE for the requested threshold — a fixed 4-chunk split would
+    silently miss pairs at hamming ≥ 4). t ≤ 3 keeps the classic 4×16-bit
+    split; larger t pays proportionally more candidate fan-out, which is
+    the correct trade (recall first, the exact hamming filter verifies).
 
     Buckets (chunk_i, chunk) larger than ``max_bucket`` are dropped before
     the self-join — a degenerate chunk value shared by m near-empty docs
@@ -374,14 +379,20 @@ def simhash_near_pairs(
     whose every matching chunk is hot is missed; such docs are degenerate
     clusters (>cap mutual near-dups) and the exact-dedup path's job.
     """
+    n_chunks = min(64, max(4, int(max_hamming) + 1))
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1] * rem + [base] * (n_chunks - rem)
+    starts = [sum(widths[:i]) for i in range(n_chunks)]
     chunks = sh.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
+                    F.shiftrightunsigned(F.col("simhash"), s).bitwiseAND(
+                        F.lit((1 << w) - 1)
+                    )
+                    for s, w in zip(starts, widths)
                 ]
             )
         ).alias("chunk_i", "chunk"),

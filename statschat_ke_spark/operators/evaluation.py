@@ -75,6 +75,7 @@ def evaluate_retrieval(
     question_key: str = "query_id",
     url_col: str = "url",
     rank_col: str = "rank",
+    text_col: str = "text",
 ) -> DataFrame:
     """Join golden questions (expected_url, expected_keywords) against ranked
     results and emit per-question metrics; aggregate with mean_metrics().
@@ -90,7 +91,7 @@ def evaluate_retrieval(
             F.struct(
                 F.col(rank_col).alias("r"),
                 F.col(url_col).alias("u"),
-                F.col("text").alias("t"),
+                F.col(text_col).alias("t"),
             )
         )
     )
@@ -110,8 +111,14 @@ def evaluate_retrieval(
             F.coalesce(F.col("top_text"), F.lit("")), F.col("expected_keywords")
         ).alias("keyword_recall"),
         (
+            # reference parity: correct_doc = check_url(expected, actual) is
+            # SUBSTRING containment (evaluation.py:197-198, 241-243), not
+            # equality — page_url appends #page fragments to the base url
             F.coalesce(
-                F.element_at("ranked_urls", 1) == F.col("expected_url"), F.lit(False)
+                F.element_at("ranked_urls", 1)
+                .cast("string")
+                .contains(F.col("expected_url").cast("string")),
+                F.lit(False),
             )
         ).alias("top1_correct"),
     )

@@ -24,7 +24,13 @@ FUZZ_THRESHOLD = 75.0
 def flag_latest(docs: DataFrame, series_col: str = "title", date_col: str = "release_date") -> DataFrame:
     """latest = max(date) within a title-series (window, no self-join)."""
     w = W.partitionBy(series_col)
-    return docs.withColumn("latest", F.col(date_col) == F.max(date_col).over(w))
+    # coalesce: a NULL release_date compares NULL to the window max, and
+    # three-valued logic would leak into the flag — filter(~latest) and
+    # filter(latest) would BOTH drop such rows. An undated doc is not latest.
+    return docs.withColumn(
+        "latest",
+        F.coalesce(F.col(date_col) == F.max(date_col).over(w), F.lit(False)),
+    )
 
 
 def match_superseded(new_docs: DataFrame, old_docs: DataFrame,

@@ -144,7 +144,10 @@ def lsh_index(
             "derives dim lazily from the first Arrow batch."
         )
     planes = _planes(nbits, dim, seed)
-    if nbits * dim <= MAX_JVM_SIG_TERMS:
+    if nbits * dim <= MAX_JVM_SIG_TERMS and nbits < 64:
+        # nbits == 64 would need the literal 1 << 63, which overflows
+        # LongType at plan construction; the Arrow path packs bit 63 via a
+        # uint64 view and returns the (identical) signed reinterpretation
         sig = hyperplane_signature(F.col(vec_col), planes)
     else:
         sig = hyperplane_signature_arrow(F.col(vec_col), planes=planes)
@@ -161,18 +164,31 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: probe the query's bucket plus all buckets within
-    ``probe_hamming`` bit flips, exact cosine re-rank inside."""
+    """ANN top-k: probe the query's bucket plus ALL buckets within
+    ``probe_hamming`` bit flips (C(nbits, ≤h) combinations — multi-probe
+    LSH), exact cosine re-rank inside. Bucket-id count is Σ_{j≤h} C(nbits,j)
+    (e.g. 2,081 at nbits=64/h=2) — driver-side ints pushed down as one IN
+    filter; for larger probe radii at high nbits, range-partition the index
+    by bucket and probe per-partition instead."""
+    import itertools
+
     qv = np.asarray(query_vec, dtype=np.float64)
     qsig = 0
     for i, h in enumerate(planes):
         if float(qv @ h) > 0:
             qsig |= 1 << i
+    mask = (1 << len(planes)) - 1
     buckets = {qsig}
-    if probe_hamming >= 1:
-        for i in range(len(planes)):
-            buckets.add(qsig ^ (1 << i))
-    cand = indexed.filter(F.col("bucket").isin([int(b) for b in buckets]))
+    for flips in range(1, min(probe_hamming, len(planes)) + 1):
+        for combo in itertools.combinations(range(len(planes)), flips):
+            flip = 0
+            for i in combo:
+                flip |= 1 << i
+            buckets.add((qsig ^ flip) & mask)
+    # signatures are stored as signed int64 reinterpretations of the packed
+    # bits — reinterpret the probe ids the same way so bit 63 matches
+    sig64 = np.array(sorted(buckets), dtype=np.uint64).view(np.int64)
+    cand = indexed.filter(F.col("bucket").isin([int(b) for b in sig64]))
     return cosine_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)
 
 

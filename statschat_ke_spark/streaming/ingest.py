@@ -69,6 +69,11 @@ def ingest_stream(
     interval needs. Falls back to full compaction when no completed merge
     exists yet. ``strategy='compact'``: full phase-B re-merge per drain.
     """
+    if strategy not in ("segment", "compact"):
+        # validate BEFORE any work: an unknown strategy must fail on the
+        # first call, not silently compact on a fresh dir (or never validate
+        # at all under merge=False) and only blow up on the second drain
+        raise ValueError(f"unknown strategy {strategy!r}")
     os.makedirs(index_dir, exist_ok=True)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -94,8 +99,6 @@ def ingest_stream(
     has_base = os.path.exists(os.path.join(index_dir, "stats.json"))
     if strategy == "compact" or not has_base:
         return merge_index(spark, index_dir, num_partitions=num_partitions)
-    if strategy != "segment":
-        raise ValueError(f"unknown strategy {strategy!r}")
     staged = staged_chunks(spark, index_dir)
     pending = sorted(staged - covered_chunks(index_dir))
     if not pending:

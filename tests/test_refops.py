@@ -524,6 +524,6 @@ def test_fuzz_ratio_long_strings(spark):
     # >64-char pattern exercises the big-int fallback inside the UDF
     a = "inflation report " * 8  # 136 chars
     b = "inflation rate report " * 8
-    want = 200.0 * _lcs_dp_oracle(a.lower(), b.lower()) / (len(a) + len(b))
+    want = 200.0 * _lcs_dp_oracle(a, b) / (len(a) + len(b))
     got = one(spark, fuzz_ratio_udf(F.col("a"), F.col("b")), a=a, b=b)
     assert math.isclose(got, want)
