@@ -25,6 +25,7 @@ on ≤k dicts at the same point (cloud_llm.py:156-299).
 from __future__ import annotations
 
 import copy
+import datetime as _dt
 import threading
 from collections import OrderedDict
 
@@ -36,6 +37,7 @@ from statschat_ke_spark.functions.refops import (
     latest_weight_py,
 )
 from statschat_ke_spark.index.query import LONG_MIN, topk
+from statschat_ke_spark.operators.postproc import doc_u_asc as _doc_u_asc_shared
 from statschat_ke_spark.operators.postproc import search_pipeline
 
 
@@ -58,23 +60,26 @@ def _result_cache_get(key):
         hit = _RESULT_CACHE.get(key)
         if hit is not None:
             _RESULT_CACHE.move_to_end(key)
-            return copy.deepcopy(hit)
+            return copy.deepcopy(hit[0])
     return None
 
 
-def _result_cache_put(key, value) -> None:
+def _result_cache_put(key, value, pin=None) -> None:
+    """``pin`` holds a strong reference to any object whose id() is part of
+    ``key`` (the metadata DataFrame): without it, CPython can recycle the
+    freed frame's address for a DIFFERENT metadata object and the key would
+    collide — the entry keeps the id's referent alive for its own lifetime."""
     with _RESULT_LOCK:
-        _RESULT_CACHE[key] = copy.deepcopy(value)
+        _RESULT_CACHE[key] = (copy.deepcopy(value), pin)
         _RESULT_CACHE.move_to_end(key)
         while len(_RESULT_CACHE) > RESULT_CACHE_MAX:
             _RESULT_CACHE.popitem(last=False)
 
 
 def _doc_u_asc():
-    """Canonical score-tie order: doc_id ascending UNSIGNED — the engine-wide
-    tie-break (index/query.py topk, the numpy oracle). doc_id = xxhash64(url)
-    is ~half negative, so a signed F.asc would invert tie order vs topk's."""
-    return F.col("doc_id").bitwiseXOR(F.lit(LONG_MIN)).asc()
+    """Canonical score-tie order (shared engine-wide definition lives in
+    operators/postproc.doc_u_asc; see there)."""
+    return _doc_u_asc_shared()
 
 
 def search(
@@ -126,7 +131,11 @@ def search(
             k_contexts,
             min_score,
             latest_max,
-            now,
+            # now=None means the pipeline ranks with F.current_date(): pin
+            # the key to TODAY so a long-lived read-only server re-ranks
+            # when the date (and with it every decay weight) changes,
+            # instead of serving day-D orderings forever
+            now or str(_dt.date.today()),
             id(metadata) if metadata is not None else None,
             latest_only,
             fetch_k,
@@ -207,11 +216,17 @@ def search(
         )
 
     if highlight and "text" in out.columns:
-        phrases = F.array(*[F.lit(t) for t in q.split()])
+        # highlight what retrieval actually matched: the FROZEN tokenizer's
+        # terms, not raw q.split() — "inflation," with trailing punctuation
+        # is a literal substring the text never contains
+        from statschat_ke_spark.functions.tokenize import tokenize
+
+        terms = list(dict.fromkeys(tokenize(q)))
+        phrases = F.array(*[F.lit(t) for t in terms])
         out = out.withColumn("text", highlight_udf(F.col("text"), phrases))
 
     refs = [r.asDict() for r in out.collect()]
     result = {"question": q_escaped, "latest_weight": lw, "references": refs}
     if cache_key is not None:
-        _result_cache_put(cache_key, result)
+        _result_cache_put(cache_key, result, pin=metadata)
     return result

@@ -139,9 +139,17 @@ def generate_documents(n: int, seed: int = SEED, vocab_size: int = 10_000) -> pd
     for q in QUERIES:
         if q.phrase is None:
             continue
-        # deterministic, spread-out doc choices per query
-        idx = (np.arange(q.n_planted) * max(1, n // max(q.n_planted, 1)) + q.query_id * 7) % n
-        for rep, i in enumerate(np.unique(idx)):
+        # deterministic, spread-out doc choices per query; tiny corpora
+        # (n <= n_planted) plant into every doc instead of silently
+        # collapsing modular collisions to fewer-than-claimed docs
+        if n <= q.n_planted:
+            idx = np.arange(n)
+        else:
+            idx = (
+                np.arange(q.n_planted) * max(1, n // max(q.n_planted, 1))
+                + q.query_id * 7
+            ) % n
+        for i in np.unique(idx):
             planted.setdefault(int(i), []).append(q.phrase)
 
     urls, texts, htmls, titles, series_ids, rel_dates = [], [], [], [], [], []
@@ -194,9 +202,15 @@ def generate_documents(n: int, seed: int = SEED, vocab_size: int = 10_000) -> pd
 def generate_doc_meta(docs: pd.DataFrame, seed: int = SEED) -> pd.DataFrame:
     """doc_meta sidecar (FIXTURES §2): latest flag per title-series + keywords."""
     rng = np.random.default_rng(seed + 1)
-    meta = docs[["url", "title", "theme", "series", "release_date"]].copy()
-    latest_date = meta.groupby(["title"])["release_date"].transform("max")
-    meta["latest"] = meta["release_date"] == latest_date
+    meta = docs[["url", "title", "theme", "series", "release_date", "warc_ts"]].copy()
+    # flag on the TIMESTAMP, not the date: series members are minutes-to-
+    # hours apart, so several (often all) share the max calendar date and a
+    # date-equality flag marks many "latest" per title — warc_ts is strictly
+    # increasing within a series, giving exactly one latest per title (the
+    # latest_updates.py semantics the fixture exists to exercise)
+    latest_ts = meta.groupby(["title"])["warc_ts"].transform("max")
+    meta["latest"] = meta["warc_ts"] == latest_ts
+    meta = meta.drop(columns=["warc_ts"])
     meta["release_type"] = [RELEASE_TYPES[i] for i in rng.integers(0, len(RELEASE_TYPES), size=len(meta))]
     meta["url_keywords"] = meta["url"].map(
         lambda u: list(dict.fromkeys(u.rsplit("/", 1)[-1].split(".html")[0].split("-")))

@@ -115,14 +115,22 @@ def winnowing_fingerprint(window: int = 8):
 
         token_re = re.compile(r"[a-z0-9]+")
         out = []
+        # batch-lifetime memo: token streams are Zipf-heavy, so hashing each
+        # DISTINCT token once cuts the pure-Python xxh64 calls by roughly
+        # the type/token ratio (identical output)
+        memo: dict[str, int] = {}
         for s in text.fillna(""):
             toks = token_re.findall(s.lower())
             if not toks:
                 out.append([])
                 continue
-            hs = np.array(
-                [xxh64(t.encode()) for t in toks], dtype=np.uint64
-            )
+            hs = np.empty(len(toks), dtype=np.uint64)
+            for j, t in enumerate(toks):
+                h = memo.get(t)
+                if h is None:
+                    h = xxh64(t.encode())
+                    memo[t] = h
+                hs[j] = h
             if len(hs) <= window:
                 mins = np.array([hs.min()], dtype=np.uint64)
             else:

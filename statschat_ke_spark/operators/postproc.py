@@ -15,6 +15,17 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from statschat_ke_spark.functions.refops import time_decay
 
+LONG_MIN = -(2**63)
+
+
+def doc_u_asc() -> Column:
+    """Canonical score-tie order: doc_id ascending UNSIGNED — the engine-wide
+    tie-break (index/query.py topk, the numpy oracle, api.py). doc_id =
+    xxhash64(url) is ~half negative, so a signed F.asc("doc_id") would
+    invert tie order vs topk's on real ids (harmless only on synthetic
+    non-negative ids)."""
+    return F.col("doc_id").bitwiseXOR(F.lit(LONG_MIN)).asc()
+
 
 def score_threshold(results: DataFrame, min_score: float) -> Column | DataFrame:
     """P5 — similarity-threshold filter (cloud_llm.py:153; main.toml:19's
@@ -65,7 +76,7 @@ def decay_rerank(results: DataFrame, latest_w: Column, now: Column) -> DataFrame
         results.withColumn(
             "score", F.col("score") * time_decay(F.col("date"), latest_w, now)
         )
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .orderBy(F.desc("score"), doc_u_asc())
     )
 
 
@@ -77,8 +88,8 @@ def rank_and_head(results: DataFrame, k_contexts: int) -> DataFrame:
     per-partition partial top-k, no total sort, no single-task funnel),
     THEN the rank window over the surviving ≤k rows — the unpartitioned
     row_number touches k rows, never the relation."""
-    topk = results.orderBy(F.desc("score"), F.asc("doc_id")).limit(k_contexts)
-    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = results.orderBy(F.desc("score"), doc_u_asc()).limit(k_contexts)
+    w = W.orderBy(F.desc("score"), doc_u_asc())
     return topk.withColumn("doc_num", F.row_number().over(w))
 
 
@@ -101,7 +112,7 @@ def search_pipeline(
     threshold → dedup(title,date) → decay rerank → relative filter →
     rank+head → rounding."""
     r = score_threshold(results, min_score)
-    r = dedup_first_wins(r, ["title", "date"], [F.desc("score"), F.asc("doc_id")])
+    r = dedup_first_wins(r, ["title", "date"], [F.desc("score"), doc_u_asc()])
     r = decay_rerank(r, F.lit(latest_weight), now)
     r = relative_score_filter(r, ratio)
     r = rank_and_head(r, k_contexts)

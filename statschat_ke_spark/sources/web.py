@@ -18,7 +18,12 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
-_HREF_RE = re.compile(rb"""<a\s[^>]*?href\s*=\s*["']([^"'#>]+)["']""", re.IGNORECASE)
+# value class must admit '#': an href like /reports/economic-survey#content
+# would otherwise fail the WHOLE match (the class has to run to the closing
+# quote) and be silently dropped — the reference's soup.find_all("a",
+# href=True) extracts fragment-bearing hrefs and its /reports/ regex accepts
+# them (no '/' in the fragment)
+_HREF_RE = re.compile(rb"""<a\s[^>]*?href\s*=\s*["']([^"'>]+)["']""", re.IGNORECASE)
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -55,12 +60,24 @@ def report_links(pages: DataFrame, html_col: str = "html", url_col: str = "url")
         )
         .filter(
             F.col("href").rlike(r"/reports/[^/]+/?$")
-            & ~F.col("href").startswith("https://www.knbs.or.ke/census")
+            # exact reference prefix (pdf_downloader.py:92): the excluded
+            # census pages live UNDER /reports/ — a bare /census prefix
+            # could never match anything the rlike admits (dead filter)
+            & ~F.col("href").startswith("https://www.knbs.or.ke/reports/kenya-census")
         )
     )
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("href").orderBy("page_url", "pos")
+    # first-seen = the reference's NUMERIC crawl order (page=1..n loop),
+    # not lexicographic page_url (".../page/10/" sorts before ".../page/2/"
+    # bytewise); listing pages without a /page/N/ component order as page 1
+    page_no = F.coalesce(
+        F.nullif(F.regexp_extract("page_url", r"/page/(\d+)", 1), F.lit("")).cast(
+            "long"
+        ),
+        F.lit(1),
+    )
+    w = W.partitionBy("href").orderBy(page_no, "page_url", "pos")
     return (
         exploded.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
