@@ -31,32 +31,59 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per sf_dir) the real inverted index over `documents`."""
+def _ensure_cached_index(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    variant: str = "",
+    marker_fresh=None,
+    post_build=None,
+) -> str:
+    """Build (once per sf_dir+variant) an inverted index over `documents`,
+    cached under /tmp with a marker-freshness check — ONE copy of the
+    subtle rmtree/format-check/rebuild protocol for every contract index.
+
+    ``marker_fresh``: extra predicate over the parsed _SUCCESS.json (beyond
+    the format match) a cached dir must satisfy to be reused.
+    ``post_build``: callable(spark, idx, docs) run after a fresh build
+    (e.g. the delete step).
+    """
     import json
     import shutil
 
     from statschat_ke_spark.index.build import INDEX_FORMAT, build_index
 
-    key = os.path.abspath(sf_dir)
+    key = os.path.abspath(sf_dir) + (f"#{variant}" if variant else "")
     if key not in _INDEX_CACHE:
         idx = os.path.join(
-            tempfile.gettempdir(), "statschat_idx_" + key.strip("/").replace("/", "_")
+            tempfile.gettempdir(),
+            f"statschat_idx{variant}_"
+            + os.path.abspath(sf_dir).strip("/").replace("/", "_"),
         )
         marker = os.path.join(idx, "_SUCCESS.json")
         fresh = False
         if os.path.exists(marker):
             try:
                 with open(marker) as f:
-                    fresh = json.load(f).get("format") == INDEX_FORMAT
+                    m = json.load(f)
+                fresh = m.get("format") == INDEX_FORMAT and (
+                    marker_fresh is None or bool(marker_fresh(m))
+                )
             except Exception:
                 fresh = False
         if not fresh:
             shutil.rmtree(idx, ignore_errors=True)  # stale or old-format cache
             docs = _t(spark, sf_dir, "documents")
             build_index(spark, docs, idx, lang="en")
+            if post_build is not None:
+                post_build(spark, idx, docs)
         _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the real inverted index over `documents`."""
+    return _ensure_cached_index(spark, sf_dir)
 
 
 FLAGSHIP_QUERY = "slow hash join table scan"
@@ -258,43 +285,22 @@ def _ensure_index_with_deletes(spark: SparkSession, sf_dir: str) -> str:
     DELETED via the tombstone path (index.build.delete_docs) — exercising
     delete-file masking, the negative-df lexicon delta, and the decremented
     stats against a DuckDB oracle computed over the remaining corpus."""
-    import json
+    from statschat_ke_spark.index.build import delete_docs
 
-    from statschat_ke_spark.index.build import (
-        INDEX_FORMAT,
-        build_index,
-        delete_docs,
+    def _delete_step(spark, idx, docs):
+        # urls are str(doc_id) for this table (no url column)
+        victims = docs.filter(
+            (F.col("doc_id") % 5 == 2) & (F.col("lang") == "en")
+        ).select(F.col("doc_id").cast("string").alias("url"))
+        delete_docs(spark, idx, victims)
+
+    return _ensure_cached_index(
+        spark,
+        sf_dir,
+        variant="del",
+        marker_fresh=lambda m: m.get("tombstone_files"),
+        post_build=_delete_step,
     )
-
-    key = os.path.abspath(sf_dir) + "#del"
-    if key not in _INDEX_CACHE:
-        import shutil
-
-        idx = os.path.join(
-            tempfile.gettempdir(),
-            "statschat_idxdel_" + os.path.abspath(sf_dir).strip("/").replace("/", "_"),
-        )
-        marker = os.path.join(idx, "_SUCCESS.json")
-        fresh = False
-        if os.path.exists(marker):
-            try:
-                with open(marker) as f:
-                    m = json.load(f)
-                fresh = m.get("format") == INDEX_FORMAT and m.get("tombstone_files")
-            except Exception:
-                fresh = False
-        if not fresh:
-            shutil.rmtree(idx, ignore_errors=True)
-            docs = _t(spark, sf_dir, "documents")
-            build_index(spark, docs, idx, lang="en")
-            # urls are str(doc_id) for this table (no url column)
-            victims = (
-                docs.filter((F.col("doc_id") % 5 == 2) & (F.col("lang") == "en"))
-                .select(F.col("doc_id").cast("string").alias("url"))
-            )
-            delete_docs(spark, idx, victims)
-        _INDEX_CACHE[key] = idx
-    return _INDEX_CACHE[key]
 
 
 def _ft_bm25_delete(spark, sf_dir):
@@ -333,12 +339,12 @@ def _ft_bm25_batch(spark, sf_dir):
 
 def _dedup_exact_text(spark, sf_dir):
     """Exact dedup via content hash (training-pipeline op; md5 = same in
-    DuckDB). Keeps the smallest doc_id per distinct text."""
+    DuckDB). Delegates to the canonical operator so the graded query covers
+    operators/dedup.py::exact_dedup rather than a hand-copied twin."""
+    from statschat_ke_spark.operators.dedup import exact_dedup
+
     docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
-    )
+    return exact_dedup(docs).withColumnRenamed("keep_id", "keep_doc_id")
 
 
 def _sim_cosine_top10(spark, sf_dir):
@@ -689,10 +695,16 @@ toks AS (
 )
 """
 
+# stats over ALL lang-filtered docs, not just token-bearing ones: the engine
+# counts every staged doc (a zero-token doc still increments n and dilutes
+# avgdl), so n = count(documents WHERE lang='en') and avgdl = total_tokens/n.
 _BM25_SQL = f"""
 WITH {_TOKS_CTE},
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+alldocs AS (SELECT count(*)::DOUBLE AS n FROM documents WHERE lang = 'en'),
+stats AS (
+    SELECT n, (SELECT coalesce(sum(dl), 0) FROM dl) / n AS avgdl FROM alldocs
+),
 q(t) AS (VALUES ('slow'),('hash'),('join'),('table'),('scan')),
 tf AS (
     SELECT toks.doc_id, toks.t, count(*)::DOUBLE AS tf
@@ -717,7 +729,13 @@ _BM25_DELETE_SQL = f"""
 WITH {_TOKS_CTE},
 live AS (SELECT doc_id, t FROM toks WHERE doc_id % 5 <> 2),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM live GROUP BY doc_id),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+alldocs AS (
+    SELECT count(*)::DOUBLE AS n FROM documents
+    WHERE lang = 'en' AND doc_id % 5 <> 2
+),
+stats AS (
+    SELECT n, (SELECT coalesce(sum(dl), 0) FROM dl) / n AS avgdl FROM alldocs
+),
 q(t) AS (VALUES ('slow'),('hash'),('join'),('table'),('scan')),
 tf AS (
     SELECT live.doc_id, live.t, count(*)::DOUBLE AS tf
@@ -745,7 +763,10 @@ def _bm25_batch_sql() -> str:
     return f"""
 WITH {_TOKS_CTE},
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+alldocs AS (SELECT count(*)::DOUBLE AS n FROM documents WHERE lang = 'en'),
+stats AS (
+    SELECT n, (SELECT coalesce(sum(dl), 0) FROM dl) / n AS avgdl FROM alldocs
+),
 qt(query_id, t) AS (VALUES {qt_rows}),
 tf AS (
     SELECT qt.query_id, toks.doc_id, toks.t, count(*)::DOUBLE AS tf

@@ -112,7 +112,7 @@ def _decoded_fraction(spark, idx: str, q: str, k: int = 10):
     idf_map = {t: v["idf"] for t, v in terminfo.items()}
     total_df = sum(v["df"] for v in terminfo.values())
     par = spark.sparkContext.defaultParallelism
-    n_groups = int(max(1, min(4 * par, (total_df // Q.BLOCK) // 512 + 1)))
+    n_groups = Q.wand_group_count(total_df, par)  # topk's exact grouping
     decoded = {"n": 0}
     orig = Q._TermBlocks.partials
 
@@ -306,14 +306,21 @@ def main() -> None:
 
     for strategy in ("segment", "compact"):
         idx2 = os.path.join(tempfile.gettempdir(), f"statschat_large_idx_{args.n_docs}_{strategy}")
-        shutil.rmtree(idx2, ignore_errors=True)
-        shutil.copytree(idx, idx2)
-        t0 = time.time()
-        ur = update_index(spark, delta_df, idx2, num_partitions=args.cpus,
-                          strategy=strategy)
-        wall = time.time() - t0
+        walls = []
+        ur = None
+        # best-of-repeats like every other section: a single-shot update
+        # measurement under the pause-prone hypervisor can skew the headline
+        # segment_speedup_vs_compact ratio arbitrarily in either direction
+        for rep in range(args.repeats):
+            shutil.rmtree(idx2, ignore_errors=True)
+            shutil.copytree(idx, idx2)
+            t0 = time.time()
+            ur = update_index(spark, delta_df, idx2, num_partitions=args.cpus,
+                              strategy=strategy)
+            walls.append(time.time() - t0)
         report[f"update_{strategy}"] = {
-            "wall_s": round(wall, 3),
+            "wall_s": round(min(walls), 3),
+            "wall_s_all": [round(w, 3) for w in walls],
             "n_docs_after": ur.n_docs,
             "delta_docs": ur.n_docs - res.n_docs,
         }
@@ -341,7 +348,18 @@ def main() -> None:
         idx_s = os.path.join(
             tempfile.gettempdir(), f"statschat_large_idx_{args.n_docs}_seg{n_seg}"
         )
-        if not os.path.exists(os.path.join(idx_s, "_SUCCESS.json")):
+        # resume guard must check the index is COMPLETE, not merely
+        # committed: _SUCCESS.json lands after the FIRST build and every
+        # append, so an interrupted prior run would otherwise be reused
+        # with 1..n_seg-1 segments and the latency curve measured on a
+        # partial corpus
+        done = False
+        try:
+            with open(os.path.join(idx_s, "_SUCCESS.json")) as fh:
+                done = len(json.load(fh).get("segments", [])) == n_seg
+        except (OSError, ValueError):
+            done = False
+        if not done:
             shutil.rmtree(idx_s, ignore_errors=True)
             per = max(1, len(part_files) // n_seg)
             slices = [part_files[i * per:(i + 1) * per] for i in range(n_seg - 1)]

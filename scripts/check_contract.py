@@ -82,6 +82,13 @@ def main() -> int:
         eq = True
         for c in g.columns:
             a, b = g[c], w[c]
+            if a.dtype.kind in "iu" and b.dtype.kind in "iu":
+                # width-normalize int kinds: int32 vs int64 stringify (and
+                # therefore driver-hash) identically — Series.equals alone
+                # is dtype-width strict and would spurious-FAIL with an
+                # empty diff sample
+                a = a.astype("int64")
+                b = b.astype("int64")
             # Driver hashes stringified values per-dtype: int64 11757 vs
             # float64 11757.0 is a hash MISMATCH even though allclose passes
             # (DuckDB SUM(BIGINT)→HUGEINT→float64 trap). Be dtype-strict.
@@ -90,7 +97,9 @@ def main() -> int:
                 print(f"     {name}.{c} dtype kind mismatch: "
                       f"{a.dtype} vs {b.dtype} (driver hash would differ)")
                 continue
-            if a.dtype.kind == "f" or b.dtype.kind == "f":
+            if (a.dtype.kind == "f" or b.dtype.kind == "f") and not (
+                a.dtype == object or b.dtype == object
+            ):
                 import numpy as np
                 if not np.allclose(
                     a.astype(float).to_numpy(),
@@ -104,12 +113,23 @@ def main() -> int:
                     print(f"     {name}.{c} first diffs at {bad}: "
                           f"{a.iloc[bad[0]]} vs {b.iloc[bad[0]]}" if len(bad) else "")
             else:
-                if not a.equals(b):
+                # object-vs-float (or any exotic pairing) lands here too:
+                # compare stringified, the driver-hash notion of equality —
+                # and never let a comparison error abort the whole gate
+                try:
+                    same = a.equals(b) or a.astype(str).equals(b.astype(str))
+                except Exception as ce:
+                    same = False
+                    print(f"     {name}.{c} compare error: {ce}")
+                if not same:
                     eq = False
-                    neq = (a != b)
-                    i = neq[neq].index[:1]
-                    print(f"     {name}.{c} diff e.g. idx {list(i)}: "
-                          f"{a.loc[i].tolist()} vs {b.loc[i].tolist()}")
+                    try:
+                        neq = a.astype(str) != b.astype(str)
+                        i = neq[neq].index[:1]
+                        print(f"     {name}.{c} diff e.g. idx {list(i)}: "
+                              f"{a.loc[i].tolist()} vs {b.loc[i].tolist()}")
+                    except Exception:
+                        print(f"     {name}.{c} dtypes {a.dtype} vs {b.dtype}")
         if eq:
             print(f"ok   {name}: rows={len(g)} exact match [{time.time()-t0:.1f}s]")
         else:

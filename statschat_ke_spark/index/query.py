@@ -349,6 +349,14 @@ class _QueryInfo(threading.local):
 LAST_QUERY_INFO = _QueryInfo()
 
 
+def wand_group_count(total_df: int, parallelism: int) -> int:
+    """Adaptive slice-coarsening group count (see topk's wand branch).
+    Single source of truth — topk, topk_batch, and the decoded-fraction
+    instrumentation (scripts/bench_large.py) must group identically, or the
+    instrumentation measures a grouping production never runs."""
+    return int(max(1, min(4 * parallelism, (total_df // BLOCK) // 512 + 1)))
+
+
 def auto_mode_threshold(n_docs: int) -> int:
     """Σdf crossover between exhaustive and WAND, derived from corpus size.
 
@@ -443,7 +451,7 @@ def topk(
             # distinct slices are disjoint, so ANY slice partition keeps
             # per-group local top-k + global TakeOrdered exact.
             par = spark.sparkContext.defaultParallelism
-            n_groups = int(max(1, min(4 * par, (total_df // BLOCK) // 512 + 1)))
+            n_groups = wand_group_count(total_df, par)
             grouped = pst.withColumn("wg", F.pmod(F.col("slice"), F.lit(n_groups)))
             res = grouped.groupBy("seg", "wg").applyInPandas(
                 _wand_slice(idf_map, avgdl, k, dead_bc), RESULT_SCHEMA
@@ -549,7 +557,7 @@ def topk_batch(
     total_df = sum(lex[t]["df"] for t in all_ids)
     par = spark.sparkContext.defaultParallelism
     if n_groups is None:
-        n_groups = int(max(1, min(4 * par, (total_df // BLOCK) // 512 + 1)))
+        n_groups = wand_group_count(total_df, par)
     else:
         n_groups = int(max(1, n_groups))
     # Query-dimension parallelism: slice groups alone bound the task count
