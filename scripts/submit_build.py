@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--update", action="store_true",
                     help="incremental UPDATE into an existing index")
+    ap.add_argument("--bench-queries", action="store_true",
+                    help="after building, run a 16-query topk_batch against "
+                         "the fresh index and report amortized s/query "
+                         "(cluster-bench evidence; needs a completed build)")
     args = ap.parse_args()
 
     spark = (
@@ -64,7 +68,7 @@ def main() -> None:
             n_chunks=args.chunks, resume=args.resume,
             stop_after_chunks=args.stop_after_chunks,
         )
-    print(json.dumps({
+    out = {
         "complete": res.complete,
         "n_docs": res.n_docs,
         "n_terms": res.n_terms,
@@ -72,7 +76,42 @@ def main() -> None:
         "chunks_processed": res.chunks_processed,
         "chunks_skipped": res.chunks_skipped,
         "index_dir": res.index_dir,
-    }))
+    }
+    if args.bench_queries and res.complete:
+        import time
+
+        from statschat_ke_spark.index.query import topk_batch
+
+        queries = {
+            i: q
+            for i, q in enumerate(
+                [
+                    "index growth rate report",
+                    "county population census survey",
+                    "market price inflation quarter",
+                    "household labour income",
+                    "government revenue exports quarter",
+                    "food fuel transport price",
+                    "annual gdp growth percent",
+                    "poverty income survey county",
+                    "unemployment rate labour market",
+                    "production exports imports trade",
+                    "school education report annual",
+                    "energy transport index month",
+                    "health household survey data",
+                    "census brief population county",
+                    "statistics bulletin kenya report",
+                    "water agriculture production report",
+                ]
+            )
+        }
+        t0 = time.time()
+        n_rows = topk_batch(spark, args.index_dir, queries, k=10).count()
+        q_wall = time.time() - t0
+        out["bench_query_wall_s"] = round(q_wall, 3)
+        out["bench_query_s_per_q"] = round(q_wall / len(queries), 4)
+        out["bench_query_rows"] = int(n_rows)
+    print(json.dumps(out))
     spark.stop()
 
 
