@@ -221,6 +221,9 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=1_000_000)
     ap.add_argument("--pairs", type=str, default="2:8",
                     help="comma-separated N:4N WORKER-count pairs")
+    ap.add_argument("--only-level", type=int, default=None,
+                    help="run a SINGLE worker-count level (capacity probe, "
+                         "no pair/efficiency computed) instead of --pairs")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--out", type=str,
                     default=os.path.join(REPO, "BENCH_CLUSTER.json"))
@@ -245,8 +248,14 @@ def main() -> None:
             .write.mode("overwrite").parquet(input_dir)
         spark.stop()
 
-    pairs = [tuple(int(x) for x in p.split(":")) for p in args.pairs.split(",")]
-    levels = []
+    if args.only_level is not None:
+        pairs = []
+        levels_arg = [args.only_level]
+    else:
+        pairs = [tuple(int(x) for x in p.split(":"))
+                 for p in args.pairs.split(",")]
+        levels_arg = None
+    levels = levels_arg or []
     for n, n4 in pairs:
         for w in (n, n4):
             if w not in levels:
