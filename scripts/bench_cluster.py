@@ -101,10 +101,12 @@ def _spawn(cmd: list[str], env: dict, log_path: str) -> subprocess.Popen:
 class Cluster:
     """One master + n pinned worker JVMs, torn down on __exit__."""
 
-    def __init__(self, n_workers: int, work_root: str, all_cores: list[int]):
+    def __init__(self, n_workers: int, work_root: str, all_cores: list[int],
+                 local_root: str | None = None):
         self.n = n_workers
         self.work_root = work_root
         self.all_cores = all_cores
+        self.local_root = local_root
         self.procs: list[subprocess.Popen] = []
 
     def __enter__(self):
@@ -134,6 +136,21 @@ class Cluster:
             cores = self.all_cores[i * CORES_PER_WORKER:(i + 1) * CORES_PER_WORKER]
             wdir = os.path.join(self.work_root, f"worker{i}")
             os.makedirs(wdir, exist_ok=True)
+            wenv = {**base_env,
+                    # the worker JVM itself sees its pinned core count
+                    "SPARK_WORKER_OPTS":
+                        f"-XX:ActiveProcessorCount={CORES_PER_WORKER}"}
+            if self.local_root:
+                # Per-worker shuffle/spill dir (executors inherit
+                # SPARK_LOCAL_DIRS from their worker in standalone mode).
+                # Pointing these at tmpfs emulates the independent per-node
+                # local disks a real cluster has: on this one-box sandbox all
+                # workers otherwise funnel shuffle writes+fetches through the
+                # SAME virtual disk, an artifact that grows with shuffle
+                # volume and exists on no real multi-node deployment.
+                ldir = os.path.join(self.local_root, f"worker{i}")
+                os.makedirs(ldir, exist_ok=True)
+                wenv["SPARK_LOCAL_DIRS"] = ldir
             self.procs.append(
                 _spawn(
                     _taskset(cores)
@@ -141,10 +158,7 @@ class Cluster:
                        "--cores", str(CORES_PER_WORKER), "--memory", WORKER_MEM,
                        "--work-dir", wdir, "--webui-port", str(8190 + i),
                        MASTER_URL],
-                    {**base_env,
-                     # the worker JVM itself sees its pinned core count
-                     "SPARK_WORKER_OPTS":
-                         f"-XX:ActiveProcessorCount={CORES_PER_WORKER}"},
+                    wenv,
                     os.path.join(self.work_root, f"worker{i}.log"),
                 )
             )
@@ -167,6 +181,7 @@ def run_level(
     pyfiles: str,
     driver_cores: list[int],
     worker_cores: list[int],
+    local_root: str | None = None,
 ) -> dict:
     work_root = os.path.join(
         tempfile.gettempdir(), f"statschat_cluster_{n_workers}w"
@@ -174,8 +189,15 @@ def run_level(
     shutil.rmtree(work_root, ignore_errors=True)
     idx = os.path.join(tempfile.gettempdir(), f"statschat_cluster_idx_{n_workers}w")
     shutil.rmtree(idx, ignore_errors=True)
+    if local_root:
+        shutil.rmtree(local_root, ignore_errors=True)
+        os.makedirs(local_root, exist_ok=True)
     submit = os.path.join(SPARK_HOME, "bin", "spark-submit")
-    with Cluster(n_workers, work_root, worker_cores):
+    driver_local = (
+        ["--conf", f"spark.local.dir={os.path.join(local_root, 'driver')}"]
+        if local_root else []
+    )
+    with Cluster(n_workers, work_root, worker_cores, local_root=local_root):
         cmd = (
             _taskset(driver_cores)
             + [submit, "--master", MASTER_URL,
@@ -184,7 +206,9 @@ def run_level(
                "--conf", f"spark.executor.memory={EXEC_MEM}",
                "--conf", f"spark.cores.max={n_workers * CORES_PER_WORKER}",
                "--conf", f"spark.sql.shuffle.partitions={num_partitions}",
-               "--conf", "spark.ui.enabled=false",
+               "--conf", "spark.ui.enabled=false"]
+            + driver_local
+            + [
                "--conf", f"spark.pyspark.python={sys.executable}",
                "--conf", "spark.driver.memory=8g",
                # the driver JVM sees its pinned core count, like each worker
@@ -204,6 +228,9 @@ def run_level(
             cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=3600
         )
         submit_wall = time.time() - t0
+    if local_root:
+        # tmpfs shuffle dirs are RAM — release them between levels
+        shutil.rmtree(local_root, ignore_errors=True)
     for line in out.stdout.splitlines():
         if line.startswith("{") and '"n_docs"' in line:
             r = json.loads(line)
@@ -225,6 +252,13 @@ def main() -> None:
                     help="run a SINGLE worker-count level (capacity probe, "
                          "no pair/efficiency computed) instead of --pairs")
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--local-dirs", type=str, default=None,
+                    help="root for per-worker SPARK_LOCAL_DIRS (shuffle/"
+                         "spill). Point at tmpfs (e.g. /dev/shm/statschat_"
+                         "local) to emulate the independent per-node local "
+                         "disks of a real cluster instead of this sandbox's "
+                         "single shared virtual disk. Default: Spark's own "
+                         "default (/tmp on the shared disk).")
     ap.add_argument("--out", type=str,
                     default=os.path.join(REPO, "BENCH_CLUSTER.json"))
     args = ap.parse_args()
@@ -289,7 +323,8 @@ def main() -> None:
                   flush=True)
             all_runs[w].append(
                 run_level(w, input_dir, num_partitions, pyfiles,
-                          driver_cores, worker_cores)
+                          driver_cores, worker_cores,
+                          local_root=args.local_dirs)
             )
             print(json.dumps(all_runs[w][-1]), flush=True)
     best = {w: min(rs, key=lambda x: x["wall_s"]) for w, rs in all_runs.items()}
@@ -302,6 +337,7 @@ def main() -> None:
             "executor_mem": EXEC_MEM,
             "driver_cores": driver_cores,
             "launch": "spark-submit --py-files (scripts/submit_build.py)",
+            "local_dirs": args.local_dirs or "spark default (/tmp, shared disk)",
         },
         "n_docs": args.n_docs,
         "num_partitions": num_partitions,
