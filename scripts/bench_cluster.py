@@ -359,6 +359,13 @@ def main() -> None:
                 "scaling_efficiency_build": round(eff, 3),
                 "query_s_per_q_N": lo.get("bench_query_s_per_q"),
                 "query_s_per_q_4N": hi.get("bench_query_s_per_q"),
+                # equal canonical sha256 ⇔ rank- and score-identical top-k
+                # at both cluster sizes (north-rule correctness criterion)
+                "query_rank_identity": (
+                    lo.get("bench_query_sha256") == hi.get("bench_query_sha256")
+                    if lo.get("bench_query_sha256") and hi.get("bench_query_sha256")
+                    else None
+                ),
             }
         )
         print(f"pair {n}→{n4} workers: build efficiency {eff:.3f}", flush=True)

@@ -106,11 +106,24 @@ def main() -> None:
             )
         }
         t0 = time.time()
-        n_rows = topk_batch(spark, args.index_dir, queries, k=10).count()
+        rows = topk_batch(spark, args.index_dir, queries, k=10).collect()
         q_wall = time.time() - t0
         out["bench_query_wall_s"] = round(q_wall, 3)
         out["bench_query_s_per_q"] = round(q_wall / len(queries), 4)
-        out["bench_query_rows"] = int(n_rows)
+        out["bench_query_rows"] = len(rows)
+        # canonical result hash: equal across cluster sizes ⇔ the top-k is
+        # rank-identical (and score-identical to 1e-6) at N and 4N workers —
+        # the north rule's correctness criterion measured on the literal
+        # launch shape, not assumed from the local-mode property tests
+        import hashlib
+
+        canon = "\n".join(
+            f"{r.query_id},{r.rank},{r.doc_id},{r.score:.6f}"
+            for r in sorted(rows, key=lambda r: (r.query_id, r.rank))
+        )
+        out["bench_query_sha256"] = hashlib.sha256(
+            canon.encode()
+        ).hexdigest()
     print(json.dumps(out))
     spark.stop()
 
