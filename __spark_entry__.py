@@ -38,6 +38,7 @@ def _ensure_cached_index(
     variant: str = "",
     marker_fresh=None,
     post_build=None,
+    builder=None,
 ) -> str:
     """Build (once per sf_dir+variant) an inverted index over `documents`,
     cached under /tmp with a marker-freshness check — ONE copy of the
@@ -47,6 +48,10 @@ def _ensure_cached_index(
     the format match) a cached dir must satisfy to be reused.
     ``post_build``: callable(spark, idx, docs) run after a fresh build
     (e.g. the delete step).
+    ``builder``: callable(spark, idx, docs) REPLACING the default
+    full-corpus build_index call (e.g. the incremental-update and
+    streaming-ingest lifecycles, which must construct the index their own
+    way); post_build still runs after it.
     """
     import json
     import shutil
@@ -74,7 +79,10 @@ def _ensure_cached_index(
         if not fresh:
             shutil.rmtree(idx, ignore_errors=True)  # stale or old-format cache
             docs = _t(spark, sf_dir, "documents")
-            build_index(spark, docs, idx, lang="en")
+            if builder is not None:
+                builder(spark, idx, docs)
+            else:
+                build_index(spark, docs, idx, lang="en")
             if post_build is not None:
                 post_build(spark, idx, docs)
         _INDEX_CACHE[key] = idx
@@ -335,6 +343,94 @@ def _ft_bm25_batch(spark, sf_dir):
     return res.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
     )
+
+
+def _ensure_index_updated(spark: SparkSession, sf_dir: str) -> str:
+    """An index constructed via the INCREMENTAL lifecycle: base build over
+    doc_id % 3 != 0, then update_index(strategy='segment') with the FULL
+    table — the anti-join keeps only the missing third, which lands as a
+    doc-disjoint delta segment. Scoring over [base, delta] must be exact vs
+    the full-corpus oracle (idf/avgdl are merged globals; per-segment WAND
+    local top-k composes exactly). The Spark analog of the reference's
+    UPDATE mode (pdf_downloader.py:133-152 anti-join + preprocess.py:250-288
+    FAISS merge_from), promoted from pytest-only (test_build_resume.py) to a
+    driver-hash-checked contract entry."""
+    from statschat_ke_spark.index.build import build_index, update_index
+
+    def _build_via_update(spark, idx, docs):
+        base = docs.filter(F.col("doc_id") % 3 != 0)
+        build_index(spark, base, idx, lang="en")
+        res = update_index(spark, docs, idx, strategy="segment")
+        assert res.complete
+
+    return _ensure_cached_index(
+        spark,
+        sf_dir,
+        variant="upd",
+        # reuse only a cache that really holds base+delta segments — a
+        # single-segment dir would silently test the plain build path
+        marker_fresh=lambda m: len(m.get("segments", [])) >= 2,
+        builder=_build_via_update,
+    )
+
+
+def _ft_bm25_update(spark, sf_dir):
+    """BM25 top-10 over an index built incrementally (base 2/3 + segment
+    append of the remaining 1/3): update == rebuild exactness, hash-checked
+    against the SAME full-corpus DuckDB oracle as ft_bm25_topk."""
+    from statschat_ke_spark.index.query import topk
+
+    idx = _ensure_index_updated(spark, sf_dir)
+    res = topk(spark, idx, FLAGSHIP_QUERY, k=10, mode="auto")
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _ensure_index_streamed(spark: SparkSession, sf_dir: str) -> str:
+    """An index constructed via STRUCTURED STREAMING: `documents` dropped
+    into a landing zone in three waves (doc_id % 3), each drained with
+    Trigger.AvailableNow through streaming/ingest.py::ingest_stream — wave 1
+    compacts into seg=0 (fresh dir), waves 2-3 append doc-disjoint delta
+    segments via the stream checkpoint's incremental file pickup. The
+    streaming analog of the reference's UPDATE mode (pdf_runner.py:51-79),
+    promoted from pytest-only (test_streaming.py) to a driver-hash-checked
+    contract entry; scoring must equal the full-corpus batch oracle."""
+    import tempfile as _tf
+
+    from statschat_ke_spark.streaming.ingest import ingest_stream
+
+    docs_schema = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+
+    def _build_via_stream(spark, idx, docs):
+        land = _tf.mkdtemp(prefix="statschat_stream_landing_")
+        for wave in range(3):
+            docs.filter(F.col("doc_id") % 3 == wave).write.mode(
+                "append"
+            ).parquet(land)
+            res = ingest_stream(
+                spark, land, idx, schema=docs_schema, strategy="segment"
+            )
+            assert res is not None and res.complete
+
+    return _ensure_cached_index(
+        spark,
+        sf_dir,
+        variant="stream",
+        marker_fresh=lambda m: len(m.get("segments", [])) >= 2,
+        builder=_build_via_stream,
+    )
+
+
+def _ft_bm25_stream(spark, sf_dir):
+    """BM25 top-10 over an index built by draining three streaming waves
+    (readStream + Trigger.AvailableNow + segment append): streaming == batch
+    exactness, hash-checked against the SAME full-corpus oracle."""
+    from statschat_ke_spark.index.query import topk
+
+    idx = _ensure_index_streamed(spark, sf_dir)
+    res = topk(spark, idx, FLAGSHIP_QUERY, k=10, mode="auto")
+    return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
 def _dedup_exact_text(spark, sf_dir):
@@ -665,6 +761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk": _ft_bm25_topk,
         "ft_bm25_delete": _ft_bm25_delete,
         "ft_bm25_batch": _ft_bm25_batch,
+        "ft_bm25_update": _ft_bm25_update,
+        "ft_bm25_stream": _ft_bm25_stream,
         "dedup_exact_text": _dedup_exact_text,
         "sim_cosine_top10": _sim_cosine_top10,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
@@ -1220,6 +1318,12 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_topk": _BM25_SQL,
         "ft_bm25_delete": _BM25_DELETE_SQL,
         "ft_bm25_batch": _bm25_batch_sql(),
+        # update==rebuild and streaming==batch: both lifecycles must land on
+        # the IDENTICAL full-corpus BM25 as the from-scratch build, so the
+        # oracle is _BM25_SQL verbatim — any segment-composition error
+        # (df double-count, stale avgdl, lost wave) breaks the hash
+        "ft_bm25_update": _BM25_SQL,
+        "ft_bm25_stream": _BM25_SQL,
         "dedup_exact_text": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
                    COUNT(*) AS n_copies

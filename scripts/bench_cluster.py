@@ -366,11 +366,30 @@ def main() -> None:
                     if lo.get("bench_query_sha256") and hi.get("bench_query_sha256")
                     else None
                 ),
+                # skew_ratio bound check: the 110M→396M postings trend is
+                # 1.085→1.267; past ~1.5 the salted (term_id, slice) range
+                # partitioning needs sub-slice splitting of hot keys
+                "skew_ratio_N": lo.get("skew_ratio"),
+                "skew_ratio_4N": hi.get("skew_ratio"),
+                "skew_within_bound_1_5": (
+                    max(lo.get("skew_ratio") or 0.0, hi.get("skew_ratio") or 0.0)
+                    <= 1.5
+                    if (lo.get("skew_ratio") or hi.get("skew_ratio"))
+                    else None
+                ),
             }
         )
         print(f"pair {n}→{n4} workers: build efficiency {eff:.3f}", flush=True)
+    # provenance note so a reader of THIS file knows which runs any published
+    # pairing used (ADVICE r4: the 10M pair spanned files without a record)
+    report["note"] = (
+        "levels interleaved per repeat (round-robin) so every level samples "
+        "the same host windows; 'levels' holds the per-level best, 'all_runs' "
+        "every rep; any pairing published in BASELINE.md cites this file"
+    )
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
+        f.write("\n")
     print(f"wrote {args.out}")
 
 

@@ -50,6 +50,9 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = E.queries(), E.oracle_sql()
+    only = set(sys.argv[2:])  # optional: check just these entries
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failed = []
     for name, fn in qs.items():
         t0 = time.time()

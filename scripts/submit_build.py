@@ -77,6 +77,20 @@ def main() -> None:
         "chunks_skipped": res.chunks_skipped,
         "index_dir": res.index_dir,
     }
+    # surface the build observability stats (skew_ratio especially — the
+    # 110M→396M postings trend is 1.085→1.267 and needs a measured point at
+    # every larger build) so cluster-bench JSONs carry them per run
+    try:
+        import os
+
+        with open(os.path.join(args.index_dir, "stats.json")) as f:
+            st = json.load(f)
+        out["skew_ratio"] = round(float(st.get("skew_ratio", 0.0)), 4)
+        out["n_postings"] = int(st.get("n_postings", 0))
+        out["postings_per_sec"] = round(float(st.get("postings_per_sec", 0.0)), 1)
+        out["phase_timings_s"] = st.get("phase_timings_s")
+    except (OSError, ValueError, KeyError):
+        pass
     if args.bench_queries and res.complete:
         import time
 
