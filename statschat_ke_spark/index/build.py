@@ -64,7 +64,28 @@ from statschat_ke_spark.index.codec import BLOCK, vbyte_encode_chunks
 
 K1 = 1.2
 B = 0.75
-SLICE_BITS = 6  # 64 doc-range slices; raise for real clusters
+# FLOOR for the per-segment doc-range slice count (2^SLICE_BITS slices).
+# The actual slice_bits of a segment is derived from its own doc count at
+# build time (derive_slice_bits below) so a web-scale build never ships the
+# sandbox default: slices bound a hot term's per-slice sub-list — the unit
+# one pack reducer sorts and one WAND task scans — so the count must grow
+# with the corpus. Queries treat `slice` as opaque data (grouped by pmod),
+# so segments with different slice_bits coexist exactly; the value used is
+# recorded in stats.json per build.
+SLICE_BITS = 6
+# Target upper bound on docs per slice: a term occurring in EVERY doc still
+# packs/scans at most this many postings per (term_id, slice) shuffle key.
+DOCS_PER_SLICE_TARGET = 1 << 20
+
+
+def derive_slice_bits(n_docs: int, *, target: int = DOCS_PER_SLICE_TARGET) -> int:
+    """ceil(log2(n_docs / target)), floored at SLICE_BITS, capped at 24
+    (`slice` is int32; 2^24 slices only engages past ~10^13 docs). At the
+    10^12-doc design point this yields 20 bits / ~1M slices: the hottest
+    possible term fans out over ~1M reducers at ≤~1M postings (~8k blocks)
+    each, where the old compile-time 6 left ~10^10-posting sub-lists."""
+    n_slices = -(-max(1, n_docs) // max(1, target))  # ceil division
+    return min(24, max(SLICE_BITS, (n_slices - 1).bit_length()))
 # Bump when the on-disk postings/lexicon layout changes; recorded in
 # _SUCCESS.json so stale caches rebuild instead of misreading.
 INDEX_FORMAT = 2
@@ -172,7 +193,7 @@ POSTINGS_SCHEMA = T.StructType(
 _PACK_COLS = ("term_id", "doc_id", "tf", "doclen")
 
 
-def _pack_body(cols: dict, pid: int):
+def _pack_body(cols: dict, pid: int, slice_bits: int):
     """Fully-vectorized block packer: sorted (term_id, doc_sort) rows
     → posting-block arrays. One numpy pass — group/block boundaries via
     flatnonzero/reduceat, codec via a single chunked vbyte encode per column.
@@ -190,7 +211,7 @@ def _pack_body(cols: dict, pid: int):
     term = cols["term_id"]
     doc = cols["doc_id"]
     doc_u = doc.view(np.uint64)
-    slc = (doc_u >> np.uint64(64 - SLICE_BITS)).astype(np.int64)
+    slc = (doc_u >> np.uint64(64 - slice_bits)).astype(np.int64)
     tf = cols["tf"].astype(np.int64)
     dl = cols["doclen"].astype(np.int64)
     n = len(term)
@@ -251,7 +272,7 @@ def _pack_body(cols: dict, pid: int):
     )
 
 
-def _pack_groups():
+def _pack_groups(slice_bits: int = SLICE_BITS):
     """mapInArrow packer: sorted (term_id, slice, doc_sort) rows → blocks.
 
     Arrow-native: input RecordBatch columns view as numpy zero-copy (all
@@ -279,15 +300,15 @@ def _pack_groups():
             # contiguous because input is sorted by (term_id, unsigned doc),
             # and slice boundaries are doc-order prefixes
             keys = cols["term_id"]
-            slcs = cols["doc_id"].view(np.uint64) >> np.uint64(64 - SLICE_BITS)
+            slcs = cols["doc_id"].view(np.uint64) >> np.uint64(64 - slice_bits)
             mask_tail = (keys == keys[-1]) & (slcs == slcs[-1])
             first_tail = int(np.argmax(mask_tail)) if mask_tail.any() else len(keys)
             if first_tail > 0:
                 body = {k: cols[k][:first_tail] for k in _PACK_COLS}
-                yield _pack_body(body, pid)
+                yield _pack_body(body, pid, slice_bits)
             leftover = {k: cols[k][first_tail:] for k in _PACK_COLS}
         if leftover is not None and len(leftover["term_id"]):
-            yield _pack_body(leftover, pid)
+            yield _pack_body(leftover, pid, slice_bits)
 
     return pack
 
@@ -562,8 +583,13 @@ def build_index(
     n_chunks: int = 1,
     resume: bool = False,
     stop_after_chunks: int | None = None,
+    slice_bits: int | None = None,
 ) -> BuildResult:
     """Build the full index under ``index_dir``.
+
+    ``slice_bits``: doc-range slice granularity; None (default) derives it
+    from the corpus size (derive_slice_bits) so hot-term per-slice sub-lists
+    stay bounded at any scale. Rank/score results are invariant to it.
 
     Layout: staged/ (phase A, per-chunk), docs/, lexicon/, postings/,
     _lineage/, _metrics/, stats.json, _SUCCESS.json.
@@ -640,7 +666,10 @@ def build_index(
         _stage_chunk(spark, cdf, index_dir, chunk, n_files=n_files)
         processed += 1
 
-    result = merge_index(spark, index_dir, num_partitions=P, n_chunks=n_chunks)
+    result = merge_index(
+        spark, index_dir, num_partitions=P, n_chunks=n_chunks,
+        slice_bits=slice_bits,
+    )
     result.chunks_processed = processed
     result.chunks_skipped = len(done_chunks)
     result.wall_s = time.time() - t0
@@ -657,6 +686,7 @@ def update_index(
     num_partitions: int | None = None,
     strategy: str = "segment",
     max_segments: int | None = DEFAULT_MAX_SEGMENTS,
+    slice_bits: int | None = None,
 ) -> BuildResult:
     """Incremental UPDATE: stage only genuinely-new documents as a fresh
     chunk, then merge. The Spark analog of the reference's UPDATE mode
@@ -710,7 +740,8 @@ def update_index(
     has_base = os.path.exists(os.path.join(index_dir, "stats.json"))
     if strategy == "compact" or not has_base:
         result = merge_index(
-            spark, index_dir, num_partitions=P, n_chunks=next_chunk + 1
+            spark, index_dir, num_partitions=P, n_chunks=next_chunk + 1,
+            slice_bits=slice_bits,
         )
         result.chunks_processed = 1
         result.chunks_skipped = len(done)
@@ -730,9 +761,14 @@ def update_index(
     appended = list(pending)
     result = None
     for c in pending:
-        result = append_segment(spark, index_dir, c, num_partitions=P)
+        result = append_segment(
+            spark, index_dir, c, num_partitions=P, slice_bits=slice_bits
+        )
     if result is None:  # fully covered already (pure replay)
-        result = append_segment(spark, index_dir, next_chunk, num_partitions=P)
+        result = append_segment(
+            spark, index_dir, next_chunk, num_partitions=P,
+            slice_bits=slice_bits,
+        )
         appended = [next_chunk]
     compacted = maybe_compact(
         spark, index_dir, max_segments=max_segments, num_partitions=P
@@ -1051,6 +1087,7 @@ def append_segment(
     chunk: int,
     *,
     num_partitions: int | None = None,
+    slice_bits: int | None = None,
 ) -> BuildResult:
     """Pack ALREADY-STAGED chunk N into index segment N and merge the global
     stats incrementally — the delta-proportional phase-B unit shared by
@@ -1103,9 +1140,13 @@ def append_segment(
     # data-proportional, NOT thread-capped — see merge_index's sizing note
     P_pack = max(4, min(4096, int(est_pairs // 1_500_000) + 1))
     P_docs = max(1, min(2048, n_delta // 2_000_000 + 1))
+    # slice_bits derives from THIS segment's doc count: per-slice WAND and
+    # the pack shuffle only ever see one segment's sub-lists, so a small
+    # delta appended to a huge base correctly gets a small slice count
+    sb = slice_bits if slice_bits is not None else derive_slice_bits(n_delta)
     seg_stats = _build_segment(
         spark, staged_k, index_dir, chunk, P_pack=P_pack, P_docs=P_docs,
-        timings=timings,
+        timings=timings, slice_bits=sb,
     )
 
     # merge global stats incrementally (exact: avgdl is a weighted mean)
@@ -1196,6 +1237,7 @@ def _build_segment(
     P_pack: int,
     P_docs: int,
     timings: dict,
+    slice_bits: int = SLICE_BITS,
 ) -> dict:
     """Pack one doc-disjoint SEGMENT: postings/seg=N, docs/seg=N,
     lexicon/seg=N, _metrics/seg=N. Segments are the incremental-update unit
@@ -1234,7 +1276,7 @@ def _build_segment(
     # materializes as a column (4 fewer bytes per pair row; the packer
     # recomputes it from doc_id). Sorting (term_id, unsigned doc) already
     # yields (term_id, slice, doc) order because slices are doc prefixes.
-    slice_key = F.shiftrightunsigned(F.col("doc_id"), 64 - SLICE_BITS)
+    slice_key = F.shiftrightunsigned(F.col("doc_id"), 64 - slice_bits)
     # numeric-only columns cross the Arrow boundary: zero-copy into numpy,
     # no Python string materialization in the packer workers
     postings = (
@@ -1246,7 +1288,7 @@ def _build_segment(
         )
         .repartition(P_pack, F.col("term_id"), slice_key)
         .sortWithinPartitions("term_id", doc_sort)
-        .mapInArrow(_pack_groups(), schema=POSTINGS_SCHEMA)
+        .mapInArrow(_pack_groups(slice_bits), schema=POSTINGS_SCHEMA)
     )
     # docs table write and postings build are independent DAGs — submit them
     # concurrently so the small docs job fills scheduler slots the big
@@ -1429,6 +1471,7 @@ def merge_index(
     *,
     num_partitions: int | None = None,
     n_chunks: int | None = None,
+    slice_bits: int | None = None,
 ) -> BuildResult:
     """Phase B COMPACTION: global stats, lexicon, postings from ALL staged
     chunks into a single segment (seg=0). Incremental updates can instead
@@ -1477,6 +1520,7 @@ def merge_index(
     est_pairs = max(1.0, n_docs * avgdl * 0.7)  # ≈ Σ distinct terms per doc
     P_pack = max(4, min(4096, int(est_pairs // 1_500_000) + 1))
     P_docs = max(1, min(2048, n_docs // 2_000_000 + 1))
+    sb = slice_bits if slice_bits is not None else derive_slice_bits(n_docs)
 
     # compaction owns the whole table dirs: invalidate the completion marker
     # BEFORE gutting them — a crash mid-compaction must not leave a
@@ -1488,7 +1532,8 @@ def merge_index(
         _clear_dir(os.path.join(index_dir, sub))
 
     seg_stats = _build_segment(
-        spark, staged, index_dir, 0, P_pack=P_pack, P_docs=P_docs, timings=timings
+        spark, staged, index_dir, 0, P_pack=P_pack, P_docs=P_docs,
+        timings=timings, slice_bits=sb,
     )
     # a full compaction leaves exactly one segment, so the segment's observed
     # lexicon row count IS the global term count — no read-back job
@@ -1500,7 +1545,7 @@ def merge_index(
         "avgdl": avgdl,
         "k1": K1,
         "b": B,
-        "slice_bits": SLICE_BITS,
+        "slice_bits": sb,
         "block": BLOCK,
         "n_terms": int(n_terms),
         "n_posting_rows": seg_stats["rows"],

@@ -245,3 +245,77 @@ def test_term_blocks_budget_cap(spark, index_dir, queries):
         tb.partials(j)
     assert 0 <= part["left"] < first_cost + 1
     assert 1 <= len(tb._cache) <= len(g)
+
+
+def test_derive_slice_bits_math():
+    """slice_bits = ceil(log2(n_docs / target)), floored at the sandbox
+    default 6, capped at 24 — the web-scale knob replacing the old
+    compile-time constant. Spot values include the 10^12-doc design point
+    (20 bits / ~1M slices: hottest term's per-slice sub-list ≤ ~1M)."""
+    from statschat_ke_spark.index.build import (
+        DOCS_PER_SLICE_TARGET,
+        SLICE_BITS,
+        derive_slice_bits,
+    )
+
+    assert derive_slice_bits(1) == SLICE_BITS
+    assert derive_slice_bits(10_000_000) == SLICE_BITS  # sandbox scales
+    # stays at the floor while n_docs/target <= 2^SLICE_BITS
+    assert derive_slice_bits(DOCS_PER_SLICE_TARGET * (1 << SLICE_BITS)) == SLICE_BITS
+    assert derive_slice_bits(DOCS_PER_SLICE_TARGET * (1 << SLICE_BITS) + 1) == 7
+    assert derive_slice_bits(10**12) == 20  # design point
+    assert derive_slice_bits(10**15) == 24  # int32-slice cap
+    # explicit target override scales inversely
+    assert derive_slice_bits(10**12, target=1 << 24) == 16
+
+
+def test_scores_bit_identical_across_slice_bits(spark, corpus_df, index_dir,
+                                                tmp_path):
+    """The doc-range slice count is pure physical layout: rebuilding the
+    SAME corpus at coarser and finer slice_bits must leave every query's
+    doc_ids AND score bits unchanged (scores are per-doc sums over the
+    query's terms — slices only re-cut posting blocks; the canonical-order
+    fold in _wand_slice keeps the summation order pinned regardless)."""
+    import json
+    import os
+
+    from statschat_ke_spark.index.build import build_index
+    from statschat_ke_spark.index.query import topk_batch
+
+    queries = {
+        0: "and on have reports",
+        1: "w09207 w02260 reports",
+        2: "inflation december county",
+    }
+    baseline = (
+        topk_batch(spark, index_dir, queries, k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    for sb in (3, 9):
+        d = str(tmp_path / f"idx_sb{sb}")
+        build_index(spark, corpus_df.drop("text"), d, num_partitions=8,
+                    slice_bits=sb)
+        with open(os.path.join(d, "stats.json")) as f:
+            assert json.load(f)["slice_bits"] == sb
+        # the layout really changed: slice ids live in [0, 2^sb)
+        mx = (
+            spark.read.parquet(os.path.join(d, "postings"))
+            .agg({"slice": "max"})
+            .collect()[0][0]
+        )
+        assert mx < (1 << sb)
+        if sb > 6:
+            assert mx >= (1 << 6)  # finer than the default layout
+        got = (
+            topk_batch(spark, d, queries, k=10)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert list(got.doc_id) == list(baseline.doc_id), sb
+        assert (
+            got.score.to_numpy().view(np.int64)
+            == baseline.score.to_numpy().view(np.int64)
+        ).all(), sb
