@@ -552,7 +552,15 @@ def _sim_lsh_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     planes = _lsh_planes()
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # single-row query-vector fetch: project ONLY the embedding column before
+    # the limit-1 collect so the scan prunes to one column + one row-group
+    # (contract glue, not library code — the operator itself takes qv inline)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()["embedding"]
+    ]
     indexed = emb.filter(F.col("vec_id") != 0).withColumn(
         "bucket", hyperplane_signature(F.col("embedding"), planes)
     )

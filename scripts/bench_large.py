@@ -244,6 +244,42 @@ def main() -> None:
     print(json.dumps({"wand_decoded_fraction": report["wand_decoded_fraction"]}),
           flush=True)
 
+    # ---- 2d. auto-mode decision audit (round-5 re-derivation evidence):
+    # for each query shape, record what mode=auto resolves to (from
+    # LAST_QUERY_INFO — threshold, Σdf, pick) and whether that pick matches
+    # the mode THIS run measured faster for the shape. This is the "auto
+    # picks the measured-faster mode at every corpus size" check the
+    # two-regime auto_mode_threshold is fit to.
+    from statschat_ke_spark.index.query import LAST_QUERY_INFO
+
+    faster = {
+        "standard": ("wand" if report["query_wand"]["per_query_s_best"]
+                     <= report["query_exhaustive"]["per_query_s_best"]
+                     else "exhaustive"),
+        "selective": ("wand" if report["selective_wand"]["per_query_s_best"]
+                      <= report["selective_exhaustive"]["per_query_s_best"]
+                      else "exhaustive"),
+    }
+    report["auto_decisions"] = {}
+    for label, qs in (("standard", QUERIES[:8]), ("selective", SELECTIVE)):
+        picks = []
+        for q in qs:
+            topk(spark, idx, q, k=10, mode="auto").collect()
+            picks.append({"query": q,
+                          "picked": LAST_QUERY_INFO.get("mode"),
+                          "total_df": LAST_QUERY_INFO.get("total_df"),
+                          "threshold": LAST_QUERY_INFO.get("threshold")})
+        modes = {p["picked"] for p in picks}
+        report["auto_decisions"][label] = {
+            "measured_faster_this_run": faster[label],
+            "auto_picked": sorted(modes),
+            "auto_matches_faster": modes == {faster[label]},
+            "per_query": picks,
+        }
+    print(json.dumps({"auto_decisions": {
+        k: {kk: vv for kk, vv in v.items() if kk != "per_query"}
+        for k, v in report["auto_decisions"].items()}}), flush=True)
+
     # ---- 3. batch retrieval: one job for all queries ----
     walls = []
     for rep in range(args.repeats):

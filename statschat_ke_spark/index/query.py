@@ -357,21 +357,46 @@ def wand_group_count(total_df: int, parallelism: int) -> int:
     return int(max(1, min(4 * parallelism, (total_df // BLOCK) // 512 + 1)))
 
 
-def auto_mode_threshold(n_docs: int) -> int:
-    """Σdf crossover between exhaustive and WAND, derived from corpus size.
+# Corpus size at which per-query cost stops being dominated by fixed Spark
+# stage overhead and starts being dominated by posting decode volume —
+# the boundary between the two auto_mode_threshold regimes below. Sits
+# between the 270k corpus (exhaustive measured faster on every query shape)
+# and the 900k corpus (WAND measured faster on every query shape); the
+# measured curves are monotone on each side, so any cut between them is
+# behavior-identical at the measured points.
+STAGE_OVERHEAD_DOCS = 512_000
 
-    Exhaustive is one streaming decode of Σdf postings; WAND adds metadata
-    machinery (interval sweep + per-group θ warm-up of ~k decoded blocks)
-    that only pays when the decode volume it can prune is large. Both the
-    exhaustive decode cost and WAND's prunable volume scale linearly with
-    n_docs at fixed query-term commonness, so the stable quantity is the
-    RATIO Σdf/n_docs, not an absolute posting count: measured crossover on
-    the 270k-doc corpus was ≈2M ≈ 8×n_docs (BENCH_LARGE), and the 8×n_docs
-    form carries that operating point to any corpus size. The 64×BLOCK floor
-    keeps tiny test corpora from routing single-block queries through WAND's
-    group machinery.
+
+def auto_mode_threshold(n_docs: int) -> int:
+    """Σdf crossover between exhaustive and WAND, re-derived (round 5) from
+    the three-point BENCH_LARGE curve at 270k / 900k / 3.24M docs.
+
+    Two measured regimes, not one ratio:
+
+    - Small corpus (stage-overhead regime, n_docs < STAGE_OVERHEAD_DOCS):
+      per-query wall is ~1 s of fixed Spark stage overhead; WAND's metadata
+      machinery (interval sweep + per-group θ warm-up of ~k decoded blocks)
+      is a visible fraction of that, so exhaustive's single streaming decode
+      wins unless posting volume is huge. Measured crossover on the
+      270k-doc corpus: Σdf ≈ 2M ≈ 8×n_docs (BENCH_LARGE, round 2) — the
+      8×n_docs rule, kept verbatim for this regime.
+
+    - Large corpus (decode-volume regime): at 900k and 3.24M docs WAND
+      measured faster on EVERY query shape — standard 4-term 1.12 vs
+      1.22 s/q and 1.00 vs 1.11, selective 0.91 vs 1.23 and 1.09 vs 1.79,
+      and even all-common queries (99.7% blocks decoded) — because its
+      per-slice local top-k avoids the exhaustive scorer's global doc-id
+      shuffle, whose cost grows with candidate count (BENCH_LARGE_1M/3M6,
+      round 4). The round-2 8×n_docs rule, derived at 270k, mis-routed
+      those shapes to exhaustive; here only the tiny-volume floor remains.
+
+    The 64×BLOCK floor keeps single-block queries (and tiny test corpora)
+    out of WAND's group machinery in both regimes. The resolved decision is
+    recorded per query in LAST_QUERY_INFO; ``auto_threshold`` overrides.
     """
-    return max(64 * BLOCK, 8 * n_docs)
+    if n_docs < STAGE_OVERHEAD_DOCS:
+        return max(64 * BLOCK, 8 * n_docs)
+    return 64 * BLOCK
 
 
 def topk(

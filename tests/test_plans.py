@@ -98,3 +98,35 @@ def test_bm25_topk_pushes_term_ids(spark, entry_queries):
     assert f"EqualTo(term_id,{tid})" in plan or "In(term_id" in plan or (
         f"{tid}" in plan and "PushedFilters" in plan
     )
+
+
+def test_snapshot_prune_is_partition_filter(spark, entry_queries):
+    """The snapshot prune (query.py::_prune_to_snapshot) must land in the
+    scan's PartitionFilters — planning-time directory pruning over the
+    ``seg`` partition column — NOT as a post-scan data Filter. This is the
+    reader-isolation contract: an uncommitted seg=N dir is never listed,
+    let alone read. (Previously only captured in PLANS.md.)"""
+    import os
+
+    import __spark_entry__ as E
+    from statschat_ke_spark.index.query import (
+        _prune_to_snapshot,
+        check_index_format,
+    )
+
+    idx = E._ensure_index(spark, SF_DIR)
+    marker = check_index_format(idx)
+    assert marker.get("segments"), "cached index must carry a segment list"
+    pst = _prune_to_snapshot(
+        spark.read.parquet(os.path.join(idx, "postings")), marker
+    ).select("term_id", "block_id")
+    plan = _formatted_plan(spark, pst)
+    # the seg predicate appears in the scan's PartitionFilters section...
+    part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part and any("seg" in ln for ln in part), plan
+    # ...and NOT as a separate post-scan Filter node on seg
+    data_filters = [
+        ln for ln in plan.splitlines()
+        if ln.strip().startswith("Condition") and "seg" in ln
+    ]
+    assert not data_filters, data_filters

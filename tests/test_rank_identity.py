@@ -319,3 +319,29 @@ def test_scores_bit_identical_across_slice_bits(spark, corpus_df, index_dir,
             got.score.to_numpy().view(np.int64)
             == baseline.score.to_numpy().view(np.int64)
         ).all(), sb
+
+
+def test_auto_mode_threshold_regimes():
+    """Round-5 re-derivation: below the stage-overhead boundary the 270k
+    crossover (8×n_docs) holds; above it, only the tiny-volume floor routes
+    to exhaustive, because WAND measured faster on every query shape at
+    900k and 3.24M docs (BENCH_LARGE_1M / BENCH_LARGE_3M6)."""
+    from statschat_ke_spark.index.build import BLOCK
+    from statschat_ke_spark.index.query import (
+        STAGE_OVERHEAD_DOCS,
+        auto_mode_threshold,
+    )
+
+    floor = 64 * BLOCK
+    # small-corpus regime: proportional rule, floored
+    assert auto_mode_threshold(1_000) == floor
+    assert auto_mode_threshold(270_000) == 8 * 270_000
+    # large-corpus regime: threshold collapses to the floor, so a standard
+    # 4-term query (Σdf ≈ 3×n_docs) and a selective rare+common query
+    # (Σdf ≈ 0.9×n_docs) BOTH route to wand — the measured-faster mode
+    for n in (900_000, 3_240_000, 10**9):
+        thr = auto_mode_threshold(n)
+        assert thr == floor
+        assert 3 * n > thr and int(0.9 * n) > thr
+    # the boundary sits strictly between the two measured corpora
+    assert 270_000 < STAGE_OVERHEAD_DOCS <= 900_000
