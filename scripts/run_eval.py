@@ -32,15 +32,15 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=1000)
     ap.add_argument("--out", type=str, default=os.path.join(REPO, "eval_metrics.json"))
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--driver-mem", type=str, default="8g",
+                    help="driver JVM heap — the corpus staging write and the "
+                         "k-row collects are the only driver-side data, but "
+                         "a 1M-doc run still wants headroom")
     args = ap.parse_args()
 
     from pyspark.sql import Row, SparkSession, functions as F
 
-    from statschat_ke_spark.corpus import (
-        DOCUMENTS_SPARK_SCHEMA,
-        QUERIES,
-        generate_documents,
-    )
+    from statschat_ke_spark.corpus import QUERIES, generate_documents
     from statschat_ke_spark.index.build import build_index
     from statschat_ke_spark.index.oracle import OracleIndex
     from statschat_ke_spark.index.query import topk
@@ -52,14 +52,39 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(args.cpus))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", args.driver_mem)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # The phrase-planted corpus only exists in the pandas generator (the
+    # distributed one plants nothing), so large-n runs stage it to parquet
+    # with pyarrow — the index build then reads a parquet PATH instead of
+    # shipping a multi-GB pandas frame through createDataFrame, and a rerun
+    # at the same n reuses both the staged corpus and the index.
     pdf = generate_documents(args.n_docs)
-    docs = spark.createDataFrame(pdf, schema=DOCUMENTS_SPARK_SCHEMA).select(
-        "url", "warc_ts", "html", "text", "lang"
+    stage = os.path.join(
+        tempfile.gettempdir(), f"statschat_eval_corpus_{args.n_docs}.parquet"
     )
+    if not os.path.exists(stage):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tmp = stage + ".tmp"
+        pq.write_table(
+            pa.Table.from_pandas(
+                pdf[["url", "warc_ts", "html", "text", "lang"]],
+                preserve_index=False,
+            ),
+            tmp,
+            # pandas datetime64[ns] would write TIMESTAMP(NANOS), which the
+            # Spark parquet reader rejects — store microseconds
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        os.replace(tmp, stage)
+    docs = spark.read.parquet(stage)
     idx = os.path.join(tempfile.gettempdir(), f"statschat_eval_idx_{args.n_docs}")
     if not os.path.exists(os.path.join(idx, "_SUCCESS.json")):
         build_index(spark, docs.drop("text"), idx, num_partitions=args.cpus)
