@@ -182,6 +182,7 @@ def run_level(
     driver_cores: list[int],
     worker_cores: list[int],
     local_root: str | None = None,
+    extra_confs: list[str] | None = None,
 ) -> dict:
     work_root = os.path.join(
         tempfile.gettempdir(), f"statschat_cluster_{n_workers}w"
@@ -207,6 +208,7 @@ def run_level(
                "--conf", f"spark.cores.max={n_workers * CORES_PER_WORKER}",
                "--conf", f"spark.sql.shuffle.partitions={num_partitions}",
                "--conf", "spark.ui.enabled=false"]
+            + [a for c in (extra_confs or []) for a in ("--conf", c)]
             + driver_local
             + [
                "--conf", f"spark.pyspark.python={sys.executable}",
@@ -259,6 +261,10 @@ def main() -> None:
                          "disks of a real cluster instead of this sandbox's "
                          "single shared virtual disk. Default: Spark's own "
                          "default (/tmp on the shared disk).")
+    ap.add_argument("--extra-conf", action="append", default=[],
+                    help="additional spark-submit --conf k=v (repeatable); "
+                         "recorded in the output JSON so controls (e.g. "
+                         "spark.io.compression.codec=zstd) are provenanced")
     ap.add_argument("--out", type=str,
                     default=os.path.join(REPO, "BENCH_CLUSTER.json"))
     args = ap.parse_args()
@@ -324,7 +330,8 @@ def main() -> None:
             all_runs[w].append(
                 run_level(w, input_dir, num_partitions, pyfiles,
                           driver_cores, worker_cores,
-                          local_root=args.local_dirs)
+                          local_root=args.local_dirs,
+                          extra_confs=args.extra_conf)
             )
             print(json.dumps(all_runs[w][-1]), flush=True)
     best = {w: min(rs, key=lambda x: x["wall_s"]) for w, rs in all_runs.items()}
@@ -338,6 +345,7 @@ def main() -> None:
             "driver_cores": driver_cores,
             "launch": "spark-submit --py-files (scripts/submit_build.py)",
             "local_dirs": args.local_dirs or "spark default (/tmp, shared disk)",
+            "extra_confs": args.extra_conf,
         },
         "n_docs": args.n_docs,
         "num_partitions": num_partitions,
