@@ -385,6 +385,53 @@ def _ft_bm25_update(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _ensure_index_compacted(spark: SparkSession, sf_dir: str) -> str:
+    """An index taken through the FULL segment lifecycle: base build over
+    doc_id % 3 != 0, segment-append of the remaining third
+    (update_index(strategy='segment') → segments [0, 1]), then PHYSICAL
+    compaction (maybe_compact(max_segments=1) → one rewritten seg=0).
+    Compaction is the plain-parquet realization of Iceberg's rewrite/compact
+    maintenance action; the contract claim is that it is a pure physical
+    reorganization — scoring after the rewrite must still hash-match the
+    full-corpus DuckDB oracle. Promoted from pytest-only
+    (test_build_resume.py / test_delete.py lifecycle chains) to a
+    driver-hash-checked contract entry."""
+    from statschat_ke_spark.index.build import (
+        build_index,
+        maybe_compact,
+        update_index,
+    )
+
+    def _build_via_compact(spark, idx, docs):
+        base = docs.filter(F.col("doc_id") % 3 != 0)
+        build_index(spark, base, idx, lang="en")
+        res = update_index(spark, docs, idx, strategy="segment")
+        assert res.complete
+        out = maybe_compact(spark, idx, max_segments=1)
+        assert out is not None and out.compacted
+
+    return _ensure_cached_index(
+        spark,
+        sf_dir,
+        variant="cmp",
+        # compaction folds back to exactly [0]; a multi-segment cache here
+        # means the compact step never ran — rebuild
+        marker_fresh=lambda m: m.get("segments") == [0],
+        builder=_build_via_compact,
+    )
+
+
+def _ft_bm25_compact(spark, sf_dir):
+    """BM25 top-10 after build → segment append → physical compaction:
+    compaction == rebuild exactness, hash-checked against the SAME
+    full-corpus DuckDB oracle as ft_bm25_topk."""
+    from statschat_ke_spark.index.query import topk
+
+    idx = _ensure_index_compacted(spark, sf_dir)
+    res = topk(spark, idx, FLAGSHIP_QUERY, k=10, mode="auto")
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _ensure_index_streamed(spark: SparkSession, sf_dir: str) -> str:
     """An index constructed via STRUCTURED STREAMING: `documents` dropped
     into a landing zone in three waves (doc_id % 3), each drained with
@@ -770,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_delete": _ft_bm25_delete,
         "ft_bm25_batch": _ft_bm25_batch,
         "ft_bm25_update": _ft_bm25_update,
+        "ft_bm25_compact": _ft_bm25_compact,
         "ft_bm25_stream": _ft_bm25_stream,
         "dedup_exact_text": _dedup_exact_text,
         "sim_cosine_top10": _sim_cosine_top10,
@@ -1326,11 +1374,13 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_topk": _BM25_SQL,
         "ft_bm25_delete": _BM25_DELETE_SQL,
         "ft_bm25_batch": _bm25_batch_sql(),
-        # update==rebuild and streaming==batch: both lifecycles must land on
-        # the IDENTICAL full-corpus BM25 as the from-scratch build, so the
-        # oracle is _BM25_SQL verbatim — any segment-composition error
-        # (df double-count, stale avgdl, lost wave) breaks the hash
+        # update==rebuild, compact==rebuild, streaming==batch: every
+        # lifecycle must land on the IDENTICAL full-corpus BM25 as the
+        # from-scratch build, so the oracle is _BM25_SQL verbatim — any
+        # segment-composition error (df double-count, stale avgdl, lost
+        # wave, lossy compaction rewrite) breaks the hash
         "ft_bm25_update": _BM25_SQL,
+        "ft_bm25_compact": _BM25_SQL,
         "ft_bm25_stream": _BM25_SQL,
         "dedup_exact_text": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
