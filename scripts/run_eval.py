@@ -144,10 +144,13 @@ def main() -> None:
         **{k: float(v) for k, v in metrics.items()},
         "negative_queries_with_hits": int(neg_hit),
         "n_questions": len(QUERIES),
+        "n_docs": args.n_docs,
+        "cpus": args.cpus,
         "per_query_seconds": timings,
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
+        f.write("\n")
     print(json.dumps(out))
     spark.stop()
 

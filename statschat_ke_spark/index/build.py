@@ -75,15 +75,25 @@ B = 0.75
 SLICE_BITS = 6
 # Target upper bound on docs per slice: a term occurring in EVERY doc still
 # packs/scans at most this many postings per (term_id, slice) shuffle key.
-DOCS_PER_SLICE_TARGET = 1 << 20
+# Refit from BENCH_SKEW.json (9.0M docs / 1.1B postings, same corpus + P_pack,
+# only slice_bits varied): the old 2^20 target derived 6 bits there, the worst
+# measured level (skew 1.468, build 1116 s); 8 bits was the sweep's optimum
+# (skew 1.321, build 829 s, fastest query) and 10 bits cut skew to 1.122 with
+# no further build gain. 2^16 derives exactly 8 bits at 9M docs, keeps every
+# corpus <= 4.2M docs at the floor of 6 (all prior rank-identity/cluster
+# evidence unchanged), and yields 24 bits / 16.7M slices at 10^12 docs
+# (hottest term <= ~60k postings per slice). Result shas were byte-identical
+# across all three levels, so the knob is pure layout, never semantics.
+DOCS_PER_SLICE_TARGET = 1 << 16
 
 
 def derive_slice_bits(n_docs: int, *, target: int = DOCS_PER_SLICE_TARGET) -> int:
     """ceil(log2(n_docs / target)), floored at SLICE_BITS, capped at 24
-    (`slice` is int32; 2^24 slices only engages past ~10^13 docs). At the
-    10^12-doc design point this yields 20 bits / ~1M slices: the hottest
-    possible term fans out over ~1M reducers at ≤~1M postings (~8k blocks)
-    each, where the old compile-time 6 left ~10^10-posting sub-lists."""
+    (`slice` is int32). At the 10^12-doc design point this yields 24 bits /
+    ~16.7M slices: the hottest possible term fans out over ~16.7M reducers at
+    <= ~60k postings (~470 blocks) each, where the old compile-time 6 left
+    ~10^10-posting sub-lists. The target itself is fit to measurement, not
+    chosen: see the BENCH_SKEW.json note on DOCS_PER_SLICE_TARGET above."""
     n_slices = -(-max(1, n_docs) // max(1, target))  # ceil division
     return min(24, max(SLICE_BITS, (n_slices - 1).bit_length()))
 # Bump when the on-disk postings/lexicon layout changes; recorded in

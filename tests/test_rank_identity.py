@@ -250,8 +250,9 @@ def test_term_blocks_budget_cap(spark, index_dir, queries):
 def test_derive_slice_bits_math():
     """slice_bits = ceil(log2(n_docs / target)), floored at the sandbox
     default 6, capped at 24 — the web-scale knob replacing the old
-    compile-time constant. Spot values include the 10^12-doc design point
-    (20 bits / ~1M slices: hottest term's per-slice sub-list ≤ ~1M)."""
+    compile-time constant. The 2^16 target is the BENCH_SKEW.json refit:
+    it derives the measured-optimal 8 bits at the 9M-doc corpus and 24
+    bits / ~16.7M slices (hottest term <= ~60k per slice) at 10^12."""
     from statschat_ke_spark.index.build import (
         DOCS_PER_SLICE_TARGET,
         SLICE_BITS,
@@ -259,11 +260,12 @@ def test_derive_slice_bits_math():
     )
 
     assert derive_slice_bits(1) == SLICE_BITS
-    assert derive_slice_bits(10_000_000) == SLICE_BITS  # sandbox scales
+    assert derive_slice_bits(3_240_000) == SLICE_BITS  # all pre-9M evidence
+    assert derive_slice_bits(9_000_000) == 8  # BENCH_SKEW measured optimum
     # stays at the floor while n_docs/target <= 2^SLICE_BITS
     assert derive_slice_bits(DOCS_PER_SLICE_TARGET * (1 << SLICE_BITS)) == SLICE_BITS
     assert derive_slice_bits(DOCS_PER_SLICE_TARGET * (1 << SLICE_BITS) + 1) == 7
-    assert derive_slice_bits(10**12) == 20  # design point
+    assert derive_slice_bits(10**12) == 24  # design point: ~16.7M slices
     assert derive_slice_bits(10**15) == 24  # int32-slice cap
     # explicit target override scales inversely
     assert derive_slice_bits(10**12, target=1 << 24) == 16
