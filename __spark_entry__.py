@@ -801,6 +801,141 @@ def _eval_reciprocal_rank(spark, sf_dir):
     )
 
 
+def _containment_join_chunks_docs(spark, sf_dir):
+    """J4 substring-containment join (latest_updates.py:97-111
+    ``doc[:60] in metadata["source"]``) demoed on part names: chunk sources
+    are derived from p_name two ways — half START with the name (covered by
+    the prefix equi fast path), half embed it mid-string (covered by the
+    broadcast contains() fallback) — so BOTH paths of the two-path plan
+    produce rows. prefix=7 (the minimum p_name length in the table) instead
+    of the reference's 60, so the equi key is a true prefix for every name
+    and the fast path carries the name-prefixed half, as designed."""
+    from statschat_ke_spark.operators.latest import containment_join
+
+    part = _t(spark, sf_dir, "part")
+    docs = part.filter(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_name").alias("title")
+    )
+    chunks = part.filter(F.col("p_partkey") % 3 == 0).select(
+        F.when(
+            F.col("p_partkey") % 2 == 0,
+            F.concat(F.col("p_name"), F.lit(" (chunk 1 of 3)")),
+        )
+        .otherwise(F.concat(F.lit("extracted chunk: "), F.col("p_name")))
+        .alias("source")
+    )
+    return containment_join(chunks, docs, prefix=7)
+
+
+_EVAL_PIPE_KEYWORDS = ["stream", "window", "zebra"]
+
+
+def _eval_retrieval_pipeline(spark, sf_dir):
+    """P9 + A4-A6 composed end to end (evaluation.py:250-326): derive a
+    deterministic ranked-results relation and a golden-questions relation
+    from `documents`, run the DISTRIBUTED evaluate_retrieval join (reference
+    'contains' semantics for both reciprocal rank and top-1), and reduce
+    with mean_metrics — the one-row summary the reference writes per
+    evaluation run. Exercises the default contains matcher + mean_metrics,
+    which the per-metric entries (eval_keyword_recall / eval_reciprocal_rank)
+    don't touch."""
+    from pyspark.sql import Window
+
+    from statschat_ke_spark.operators.evaluation import (
+        evaluate_retrieval,
+        mean_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    results = (
+        docs.withColumn("query_id", F.col("doc_id") % 20)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("n_chars").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.concat(F.lit("doc-"), F.col("doc_id")).alias("url"),
+            "text",
+        )
+    )
+    questions = (
+        docs.groupBy((F.col("doc_id") % 20).alias("query_id"))
+        .agg(F.concat(F.lit("doc-"), F.min("doc_id")).alias("expected_url"))
+        .withColumn(
+            "expected_keywords",
+            F.array(*[F.lit(k) for k in _EVAL_PIPE_KEYWORDS]),
+        )
+    )
+    return mean_metrics(evaluate_retrieval(questions, results))
+
+
+def _refops_dates(spark, sf_dir):
+    """F1/F2/F3/F4/F11 reference date-and-filename chains (pdf_to_json.py:
+    98-121, 124-178, 181-216, 388-413, 453-454) over `orders`-derived pdf
+    metadata: creation date from 'D:YYYYMMDD' metadata with filename-year
+    and injected-default fallbacks (all three branches populated), the
+    >1825-day modification-date clamp (both branches), '%B %Y'/'%Y' period
+    parsing (both shapes), title-from-filename, and url keyword extraction.
+    Dates are stringified on both sides per the contract convention."""
+    from statschat_ke_spark.functions.refops import (
+        convert_to_date,
+        extract_creation_date,
+        extract_modification_date,
+        title_from_filename,
+        url_keywords,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    od = F.col("o_orderdate").cast("date")
+    filename = F.when(
+        F.col("o_orderkey") % 7 == 0, F.lit("annual-report.pdf")
+    ).otherwise(
+        F.concat(
+            F.lit("economic-survey-"),
+            F.year(od).cast("string"),
+            F.lit("-q"),
+            ((F.col("o_orderkey") % 4) + 1).cast("string"),
+            F.lit(".pdf"),
+        )
+    )
+    meta = F.when(
+        F.col("o_orderkey") % 3 == 0,
+        F.concat(F.lit("D:"), F.date_format(od, "yyyyMMdd"), F.lit("120000Z")),
+    ).otherwise(F.lit("not-a-date"))
+    base = o.select(
+        F.col("o_orderkey").alias("okey"),
+        filename.alias("filename"),
+        meta.alias("meta"),
+        F.date_add(od, (F.col("o_orderkey") % 3000).cast("int")).alias("mod_raw"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.date_format(od, "MMMM yyyy")
+        )
+        .otherwise(F.year(od).cast("string"))
+        .alias("month_str"),
+    )
+    creation = extract_creation_date(
+        F.col("meta"), F.col("filename"), F.to_date(F.lit("1900-01-01"))
+    )
+    d = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    return base.select(
+        "okey",
+        d(creation).alias("creation_date"),
+        d(extract_modification_date(F.col("mod_raw"), creation)).alias(
+            "modification_date"
+        ),
+        d(convert_to_date(F.col("month_str"))).alias("period_date"),
+        title_from_filename(F.col("filename")).alias("title"),
+        F.array_join(url_keywords(F.col("filename")), ",").alias("keywords_csv"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -832,7 +967,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_pipeline": _mm_media_pipeline,
         "eval_keyword_recall": _eval_keyword_recall,
         "eval_reciprocal_rank": _eval_reciprocal_rank,
+        "eval_retrieval_pipeline": _eval_retrieval_pipeline,
         "sim_cosine_pairs": _sim_cosine_pairs,
+        "containment_join_chunks_docs": _containment_join_chunks_docs,
+        "refops_dates": _refops_dates,
     }
 
 
@@ -1195,6 +1333,155 @@ def oracle_sql() -> dict[str, str]:
         "search_postproc": _SEARCH_POSTPROC_SQL,
         "eval_keyword_recall": _EVAL_KW_SQL,
         "eval_reciprocal_rank": _EVAL_RR_SQL,
+        # mirrors evaluate_retrieval + mean_metrics exactly: ranked lists
+        # restored by rank, contains-matcher for rr and top-1, keyword
+        # recall on the first non-null text, then round(avg, 6)
+        "eval_retrieval_pipeline": """
+            WITH results AS (
+                SELECT doc_id % 20 AS query_id,
+                       row_number() OVER (
+                           PARTITION BY doc_id % 20
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rank,
+                       'doc-' || doc_id AS url, text
+                FROM documents
+            ),
+            r10 AS (SELECT * FROM results WHERE rank <= 10),
+            ranked AS (
+                SELECT query_id,
+                       list(url ORDER BY rank) AS ranked_urls,
+                       (list(text ORDER BY rank)
+                        FILTER (WHERE text IS NOT NULL))[1] AS top_text
+                FROM r10 GROUP BY query_id
+            ),
+            questions AS (
+                SELECT doc_id % 20 AS query_id,
+                       'doc-' || min(doc_id) AS expected_url
+                FROM documents GROUP BY 1
+            ),
+            perq AS (
+                SELECT q.query_id,
+                       list_position(
+                           list_transform(r.ranked_urls,
+                                          u -> contains(u, q.expected_url)),
+                           true) AS pos,
+                       coalesce(lower(r.top_text), '') AS lt,
+                       coalesce(contains(r.ranked_urls[1], q.expected_url),
+                                false) AS top1
+                FROM questions q LEFT JOIN ranked r USING (query_id)
+            ),
+            m AS (
+                SELECT CASE WHEN pos IS NOT NULL AND pos > 0
+                            THEN 1.0 / pos ELSE 0.0 END AS rr,
+                       (contains(lt, 'stream')::INT + contains(lt, 'window')::INT
+                        + contains(lt, 'zebra')::INT) / 3.0 AS recall,
+                       top1::INT::DOUBLE AS t1
+                FROM perq
+            )
+            SELECT round(avg(rr), 6) AS mean_reciprocal_rank,
+                   round(avg(recall), 6) AS mean_keyword_recall,
+                   round(avg(t1), 6) AS top1_accuracy
+            FROM m
+        """,
+        # mirrors containment_join's two-path plan verbatim: distinct
+        # sides, 7-char prefix equi fast path, left-anti residual, then
+        # the contains() theta fallback, unioned + deduplicated
+        "containment_join_chunks_docs": """
+            WITH c AS (
+                SELECT DISTINCT
+                       CASE WHEN p_partkey % 2 = 0
+                            THEN p_name || ' (chunk 1 of 3)'
+                            ELSE 'extracted chunk: ' || p_name END AS source
+                FROM part WHERE p_partkey % 3 = 0
+            ),
+            d AS (
+                SELECT title, substring(title, 1, 7) AS pfx
+                FROM (SELECT DISTINCT p_name AS title
+                      FROM part WHERE p_partkey % 7 = 0)
+            ),
+            eq AS (
+                SELECT c.source, d.title
+                FROM c JOIN d ON substring(c.source, 1, 7) = d.pfx
+            ),
+            unmatched AS (
+                SELECT d.title, d.pfx
+                FROM d LEFT JOIN (SELECT DISTINCT title FROM eq) m
+                       USING (title)
+                WHERE m.title IS NULL
+            ),
+            theta AS (
+                SELECT c.source, u.title
+                FROM c CROSS JOIN unmatched u
+                WHERE contains(c.source, u.pfx)
+            )
+            SELECT DISTINCT source, title
+            FROM (SELECT * FROM eq UNION ALL SELECT * FROM theta)
+        """,
+        # mirrors the refops date chains: D:YYYYMMDD metadata parse with
+        # filename-year (max, word-bounded) and default fallbacks, the
+        # >1825-day modification clamp, %B %Y / %Y period parse, title and
+        # keyword derivation from the filename
+        "refops_dates": """
+            WITH base AS (
+                SELECT o_orderkey AS okey,
+                       o_orderdate::DATE AS od,
+                       CASE WHEN o_orderkey % 7 = 0 THEN 'annual-report.pdf'
+                            ELSE 'economic-survey-' || year(o_orderdate::DATE)
+                                 || '-q' || (o_orderkey % 4 + 1) || '.pdf'
+                       END AS filename,
+                       CASE WHEN o_orderkey % 3 = 0
+                            THEN 'D:' || strftime(o_orderdate::DATE, '%Y%m%d')
+                                 || '120000Z'
+                            ELSE 'not-a-date' END AS meta,
+                       o_orderdate::DATE + (o_orderkey % 3000)::INT AS mod_raw,
+                       CASE WHEN o_orderkey % 2 = 0
+                            THEN strftime(o_orderdate::DATE, '%B %Y')
+                            ELSE year(o_orderdate::DATE)::VARCHAR
+                       END AS month_str
+                FROM orders WHERE o_orderkey % 5 = 0
+            ),
+            cr AS (
+                SELECT *,
+                       coalesce(
+                           try_strptime(regexp_extract(meta, '^D:(\\d{8})', 1),
+                                        '%Y%m%d')::DATE,
+                           CASE WHEN len(regexp_extract_all(
+                                    filename,
+                                    '\\b(19\\d{2}|20\\d{2})\\b', 1)) > 0
+                                THEN try_strptime(
+                                    list_max(regexp_extract_all(
+                                        filename,
+                                        '\\b(19\\d{2}|20\\d{2})\\b', 1))
+                                    || '-01-01', '%Y-%m-%d')::DATE
+                           END,
+                           DATE '1900-01-01') AS creation
+                FROM base
+            )
+            SELECT okey,
+                   strftime(creation, '%Y-%m-%d') AS creation_date,
+                   strftime(
+                       CASE WHEN date_diff('day', creation, mod_raw) > 1825
+                            THEN creation
+                            ELSE coalesce(mod_raw, creation) END,
+                       '%Y-%m-%d') AS modification_date,
+                   strftime(
+                       coalesce(
+                           try_strptime(month_str, '%B %Y')::DATE,
+                           CASE WHEN regexp_matches(month_str, '^\\d{4}$')
+                                THEN try_strptime(month_str || '-01-01',
+                                                  '%Y-%m-%d')::DATE
+                           END),
+                       '%Y-%m-%d') AS period_date,
+                   replace(regexp_replace(filename, '\\.(pdf|html?)$', ''),
+                           '-', ' ') AS title,
+                   array_to_string(
+                       list_filter(
+                           string_split(
+                               regexp_replace(filename, '\\.(pdf|html?)$', ''),
+                               '-'),
+                           x -> x <> ''), ',') AS keywords_csv
+            FROM cr
+        """,
         "sim_cosine_pairs": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
