@@ -936,6 +936,77 @@ def _refops_dates(spark, sf_dir):
     )
 
 
+def _latest_flag(spark, sf_dir):
+    """P4 latest-version flagging (latest_flag_helpers.py window semantics):
+    max-date-within-series without a self-join, incl. the NULL-date branch
+    (an undated doc is never latest — coalesce keeps three-valued logic out
+    of the flag) and date ties (every row at the series max flags true)."""
+    from statschat_ke_spark.operators.latest import flag_latest
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0)
+    docs = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.concat(
+            F.lit("series-"), (F.col("o_custkey") % 50).cast("string")
+        ).alias("title"),
+        F.when(
+            F.col("o_orderkey") % 10 != 0, F.col("o_orderdate").cast("date")
+        ).alias("release_date"),
+    )
+    out = flag_latest(docs)
+    return out.select(
+        "okey",
+        "title",
+        F.date_format("release_date", "yyyy-MM-dd").alias("release_date"),
+        "latest",
+    )
+
+
+def _report_link_scan(spark, sf_dir):
+    """S1+P1+P2 listing-page link scan (pdf_downloader.py:67-128): synthesize
+    deterministic html BYTES per document (a /reports/ link, sometimes a
+    census link, an /about/ distractor), run the real bytes-regex
+    extract_links_udf + report predicate + first-seen dedup in NUMERIC crawl
+    order. The oracle derives the same relation independently from the
+    construction rule (sentinel_scrape-style independent-derivation oracle)
+    rather than re-implementing the regex."""
+    from statschat_ke_spark.sources.web import report_links
+
+    docs = _t(spark, sf_dir, "documents")
+    href1 = F.concat(
+        F.lit("/reports/report-"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("/"),
+    )
+    census = F.concat(
+        F.lit('<a href="/reports/census-'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('">c</a>'),
+    )
+    html = F.concat(
+        F.lit('<html><body><a class="x" href="'),
+        href1,
+        F.lit('">r</a>'),
+        F.when(F.col("doc_id") % 3 == 0, census).otherwise(F.lit("")),
+        F.lit('<a href="/about/">about</a></body>'),
+    )
+    page_url = F.concat(
+        F.lit("https://example.org/publications"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("/page/"),
+                ((F.col("doc_id") % 12) + 1).cast("string"),
+                F.lit("/"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        page_url.alias("url"), F.encode(html, "utf-8").alias("html")
+    )
+    return report_links(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -971,6 +1042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_pairs": _sim_cosine_pairs,
         "containment_join_chunks_docs": _containment_join_chunks_docs,
         "refops_dates": _refops_dates,
+        "latest_flag": _latest_flag,
+        "report_link_scan": _report_link_scan,
     }
 
 
@@ -1416,6 +1489,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT source, title
             FROM (SELECT * FROM eq UNION ALL SELECT * FROM theta)
+        """,
+        # mirrors flag_latest: window max per series, NULL-date rows never
+        # latest, ties at the max all flag true
+        "latest_flag": """
+            WITH docs AS (
+                SELECT o_orderkey AS okey,
+                       'series-' || (o_custkey % 50) AS title,
+                       CASE WHEN o_orderkey % 10 != 0
+                            THEN o_orderdate::DATE END AS rd
+                FROM orders WHERE o_orderkey % 4 = 0
+            )
+            SELECT okey, title,
+                   strftime(rd, '%Y-%m-%d') AS release_date,
+                   coalesce(rd = max(rd) OVER (PARTITION BY title), false)
+                       AS latest
+            FROM docs
+        """,
+        # independent derivation of the link-scan pipeline from the html
+        # CONSTRUCTION rule (the Spark side runs the real bytes-regex UDF):
+        # report link at pos 0, census link at pos 1 when present, the
+        # /about/ distractor never matches the /reports/ predicate; dedup
+        # is first-seen in numeric crawl-page order
+        "report_link_scan": """
+            WITH pages AS (
+                SELECT doc_id,
+                       'https://example.org/publications' ||
+                       CASE WHEN doc_id % 4 = 0
+                            THEN '/page/' || (doc_id % 12 + 1) || '/'
+                            ELSE '' END AS page_url,
+                       doc_id % 40 AS r, doc_id % 5 AS c,
+                       doc_id % 3 = 0 AS has_census
+                FROM documents
+            ),
+            links AS (
+                SELECT page_url, 0 AS pos,
+                       '/reports/report-' || r || '/' AS href
+                FROM pages
+                UNION ALL
+                SELECT page_url, 1, '/reports/census-' || c
+                FROM pages WHERE has_census
+            ),
+            dedup AS (
+                SELECT page_url, pos, href,
+                       row_number() OVER (PARTITION BY href ORDER BY
+                           coalesce(try_cast(regexp_extract(page_url,
+                               '/page/(\\d+)', 1) AS BIGINT), 1),
+                           page_url, pos) AS rn
+                FROM links
+            )
+            SELECT page_url, pos, href FROM dedup WHERE rn = 1
         """,
         # mirrors the refops date chains: D:YYYYMMDD metadata parse with
         # filename-year (max, word-bounded) and default fallbacks, the
