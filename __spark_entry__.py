@@ -1007,6 +1007,81 @@ def _report_link_scan(spark, sf_dir):
     return report_links(pages)
 
 
+def _refops_escape_parse(spark, sf_dir):
+    """F15 + F16 (main_api_cloud.py:97, local_llm.py:105-129,
+    response_model.py:5-33): html escaping of all five significant chars
+    ('&' first), smart-quote normalization, and the strict LlmResponse
+    parse with its three input shapes — plain-valid JSON, smart-quoted JSON
+    (valid only AFTER normalize_quotes), and malformed text (PERMISSIVE
+    null struct, surfaced via llm_response_is_valid)."""
+    from statschat_ke_spark.functions.refops import (
+        html_escape,
+        llm_response_is_valid,
+        parse_llm_response,
+    )
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 3 == 0)
+    raw = F.concat(
+        F.lit('"'), F.col("p_name"), F.lit('" & <'), F.col("p_brand"),
+        F.lit(">'s ‘x’ “y”"),
+    )
+    plain = F.concat(
+        F.lit('{"answer_provided": true, "most_likely_answer": "'),
+        F.col("p_name"),
+        F.lit('", "highlighting1": ["a"], "highlighting2": [], '
+              '"highlighting3": ["b", "c"], "reasoning": "r"}'),
+    )
+    # the same JSON written with smart quotes — parseable only after F16
+    smart = F.translate(plain, '"', "“")
+    json_str = (
+        F.when(F.col("p_partkey") % 9 == 0, F.lit("not json {"))
+        .when(F.col("p_partkey") % 2 == 0, smart)
+        .otherwise(plain)
+    )
+    parsed = parse_llm_response(json_str)
+    return part.select(
+        F.col("p_partkey").alias("pkey"),
+        html_escape(raw).alias("escaped"),
+        llm_response_is_valid(parsed).alias("valid"),
+        parsed["most_likely_answer"].alias("answer"),
+        F.size(parsed["highlighting3"]).alias("n_h3"),
+    )
+
+
+def _report_pdf_links(spark, sf_dir):
+    """S2 first-pdf-link extraction (pdf_downloader.py:105-127): report
+    pages synthesized with an html distractor link and 0-2 pdf links; the
+    real bytes-regex UDF extracts all hrefs and first_pdf_link picks the
+    first .pdf (try_element_at: NULL when a page has none). Oracle derives
+    the expected pdf independently from the construction rule."""
+    from statschat_ke_spark.sources.web import extract_links_udf, first_pdf_link
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<a href="/x/intro.html">i</a>'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit('<a href="/files/doc-'),
+                (F.col("doc_id") % 30).cast("string"),
+                F.lit('.pdf">p</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit('<a href="/files/extra-'),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit('.pdf">q</a>'),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        F.concat(F.lit("page-"), F.col("doc_id")).alias("url"),
+        first_pdf_link(extract_links_udf(F.encode(html, "utf-8"))).alias("pdf"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -1044,6 +1119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refops_dates": _refops_dates,
         "latest_flag": _latest_flag,
         "report_link_scan": _report_link_scan,
+        "refops_escape_parse": _refops_escape_parse,
+        "report_pdf_links": _report_pdf_links,
     }
 
 
@@ -1489,6 +1566,65 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT source, title
             FROM (SELECT * FROM eq UNION ALL SELECT * FROM theta)
+        """,
+        # mirrors F15/F16: the same escape chain ('&' first), smart-quote
+        # translate, and json_valid-guarded extraction in place of the
+        # PERMISSIVE from_json null-struct
+        "refops_escape_parse": """
+            WITH base AS (
+                SELECT p_partkey AS pkey,
+                       '"' || p_name || '" & <' || p_brand
+                           || '>''s ‘x’ “y”' AS raw,
+                       '{"answer_provided": true, "most_likely_answer": "'
+                           || p_name || '", "highlighting1": ["a"], '
+                           || '"highlighting2": [], "highlighting3": '
+                           || '["b", "c"], "reasoning": "r"}' AS plain
+                FROM part WHERE p_partkey % 3 = 0
+            ),
+            shaped AS (
+                SELECT pkey, raw,
+                       CASE WHEN pkey % 9 = 0 THEN 'not json {'
+                            WHEN pkey % 2 = 0 THEN replace(plain, '"', '“')
+                            ELSE plain END AS js
+                FROM base
+            ),
+            norm AS (
+                SELECT pkey, raw, translate(js, '‘’“”', '''''""') AS ns
+                FROM shaped
+            ),
+            -- json_extract THROWS on malformed input (AND does not
+            -- short-circuit), so null out invalid JSON first: the
+            -- PERMISSIVE from_json null-struct analog
+            v AS (
+                SELECT pkey, raw,
+                       CASE WHEN json_valid(ns) THEN ns END AS vjs
+                FROM norm
+            )
+            SELECT pkey,
+                   replace(replace(replace(replace(replace(raw,
+                       '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                       '"', '&#34;'), '''', '&#39;') AS escaped,
+                   coalesce(
+                       json_extract(vjs, '$.answer_provided') IS NOT NULL
+                       AND json_extract(vjs, '$.highlighting1') IS NOT NULL
+                       AND json_extract(vjs, '$.highlighting2') IS NOT NULL
+                       AND json_extract(vjs, '$.highlighting3') IS NOT NULL,
+                       false) AS valid,
+                   json_extract_string(vjs, '$.most_likely_answer') AS answer,
+                   json_array_length(vjs, '$.highlighting3') AS n_h3
+            FROM v
+        """,
+        # independent derivation of the first-pdf-link rule from the html
+        # construction (the Spark side runs the real bytes-regex UDF +
+        # try_element_at)
+        "report_pdf_links": """
+            SELECT 'page-' || doc_id AS url,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '/files/doc-' || (doc_id % 30) || '.pdf'
+                        WHEN doc_id % 5 = 0
+                        THEN '/files/extra-' || (doc_id % 7) || '.pdf'
+                   END AS pdf
+            FROM documents
         """,
         # mirrors flag_latest: window max per series, NULL-date rows never
         # latest, ties at the max all flag true
