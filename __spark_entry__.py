@@ -288,6 +288,19 @@ def _ft_bm25_topk(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _ft_bm25_empty_query(spark, sf_dir):
+    """P10 empty-question guard (cloud_llm.py empty-question 422 /
+    query.py:407) through the driver contract: a punctuation-only question
+    tokenizes to nothing and MUST return an empty (not error, not all-docs)
+    result with the stable top-k schema; oracle is the same projection
+    under WHERE false."""
+    from statschat_ke_spark.index.query import topk
+
+    idx = _ensure_index(spark, sf_dir)
+    res = topk(spark, idx, "?!... ---", k=10, mode="auto")
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _ensure_index_with_deletes(spark: SparkSession, sf_dir: str) -> str:
     """A second index over `documents` with every doc_id ≡ 2 (mod 5)
     DELETED via the tombstone path (index.build.delete_docs) — exercising
@@ -1095,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_term_stats": _ft_term_stats,
         "ft_doclen_stats": _ft_doclen_stats,
         "ft_bm25_topk": _ft_bm25_topk,
+        "ft_bm25_empty_query": _ft_bm25_empty_query,
         "ft_bm25_delete": _ft_bm25_delete,
         "ft_bm25_batch": _ft_bm25_batch,
         "ft_bm25_update": _ft_bm25_update,
@@ -1481,6 +1495,9 @@ FROM lists
 def oracle_sql() -> dict[str, str]:
     return {
         "search_postproc": _SEARCH_POSTPROC_SQL,
+        "ft_bm25_empty_query": """
+            SELECT doc_id, 0.0 AS score FROM documents WHERE false
+        """,
         "eval_keyword_recall": _EVAL_KW_SQL,
         "eval_reciprocal_rank": _EVAL_RR_SQL,
         # mirrors evaluate_retrieval + mean_metrics exactly: ranked lists
